@@ -1,0 +1,133 @@
+"""Code-construction tests: reproduce the verified constants of the target
+code instances (SURVEY.md §2.2) and structural invariants."""
+
+import numpy as np
+import pytest
+
+from feedback_gnn_tpu.codes import (
+    CSSCode,
+    build_graph,
+    build_rowset,
+    create_checkerboard_toric_codes,
+    create_generalized_bicycle_codes,
+    create_QC_GHP_codes,
+    create_cyclic_permuting_matrix,
+    create_rotated_surface_codes,
+    create_surface_codes,
+    hamming_code,
+    hypergraph_product,
+    rep_code,
+)
+
+
+def check_css_invariants(code: CSSCode):
+    # CSS commutation
+    assert not np.any(code.hx @ code.hz.T % 2)
+    # kernels annihilate
+    assert not np.any(code.hx @ code.hx_perp.T % 2)
+    assert not np.any(code.hz @ code.hz_perp.T % 2)
+    # logicals commute with stabilizers but lx/lz pair anticommutes somewhere
+    assert not np.any(code.hx @ code.lz.T % 2)
+    assert not np.any(code.hz @ code.lx.T % 2)
+    assert code.lx.shape[0] == code.K
+    assert code.lz.shape[0] == code.K
+    from feedback_gnn_tpu.codes import rank
+
+    assert rank(code.lx @ code.lz.T % 2) == code.K
+
+
+def test_surface_code():
+    code = create_surface_codes(3)
+    assert code.N == 13 and code.K == 1
+    check_css_invariants(code)
+
+
+def test_rotated_surface_code():
+    code = create_rotated_surface_codes(3)
+    assert code.N == 9 and code.K == 1
+    check_css_invariants(code)
+
+
+def test_toric_code():
+    code = create_checkerboard_toric_codes(4)
+    assert code.N == 16 and code.K == 2
+    check_css_invariants(code)
+
+
+def test_generalized_bicycle():
+    # GB code from examples/QLDPC.ipynb: [[48,6]]
+    code = create_generalized_bicycle_codes(24, [0, 2, 8, 15], [0, 2, 12, 17])
+    assert code.N == 48 and code.K == 6
+    check_css_invariants(code)
+
+
+def test_hypergraph_product_hamming():
+    h = hamming_code(3)
+    code = hypergraph_product(h, h)
+    assert code.N == 7 * 7 + 3 * 3
+    check_css_invariants(code)
+
+
+@pytest.mark.slow
+def test_ghp_882_24(ghp882):
+    code = ghp882
+    assert code.N == 882 and code.K == 24
+    assert code.hx.shape == (441, 882) and code.hz.shape == (441, 882)
+    assert code.rank_hx == 429 and code.rank_hz == 429
+    assert code.hx_perp.shape[0] == 453
+    # (3,6)-biregular
+    assert (code.hx.sum(axis=0) == 3).all() and (code.hx.sum(axis=1) == 6).all()
+    assert (code.hz.sum(axis=0) == 3).all() and (code.hz.sum(axis=1) == 6).all()
+    check_css_invariants(code)
+
+
+def test_cyclic_permuting_matrix():
+    A = create_cyclic_permuting_matrix(7, [27, 54, 0])
+    assert A.shape == (7, 7)
+    assert (A >= -1).all()
+    # rows each contain exactly the three shifts
+    for j in range(7):
+        vals = sorted(v for v in A[j] if v >= 0)
+        assert vals == [0, 27, 54]
+
+
+def test_graph_layout_roundtrip(small_code):
+    g = build_graph(small_code.hx)
+    pcm = np.asarray(small_code.hx)
+    assert g.num_edges == int(pcm.sum())
+    # edge endpoints reconstruct the pcm
+    rebuilt = np.zeros_like(pcm)
+    rebuilt[g.edge_cn, g.edge_vn] = 1
+    assert np.array_equal(rebuilt, pcm)
+    # VN-major ordering
+    assert (np.diff(g.edge_vn) >= 0).all()
+    # vn_edge / cn_edge tables consistent with endpoints
+    for v in range(g.num_vn):
+        edges = g.vn_edge[v][g.vn_mask[v] > 0]
+        assert set(g.edge_vn[edges]) == {v} if len(edges) else True
+    for c in range(g.num_cn):
+        edges = g.cn_edge[c][g.cn_mask[c] > 0]
+        assert set(g.edge_cn[edges]) <= {c}
+    # inverse permutation: edge_cn_slot maps back to the same edge
+    flat = np.full(g.num_cn * g.max_cn_deg, g.num_edges, dtype=np.int64)
+    for c in range(g.num_cn):
+        for s in range(g.max_cn_deg):
+            if g.cn_mask[c, s] > 0:
+                flat[c * g.max_cn_deg + s] = g.cn_edge[c, s]
+    assert np.array_equal(flat[g.edge_cn_slot], np.arange(g.num_edges))
+
+
+def test_graph_biregular_uniform(ghp882):
+    g = build_graph(ghp882.hx)
+    assert g.vn_uniform and g.cn_uniform
+    assert g.max_vn_deg == 3 and g.max_cn_deg == 6
+    assert g.num_edges == 2646
+
+
+def test_rowset(small_code):
+    rs = build_rowset(small_code.hx_perp)
+    pcm = np.asarray(small_code.hx_perp)
+    assert rs.num_rows == pcm.shape[0]
+    for r in range(rs.num_rows):
+        cols = rs.vn_idx[r][rs.mask[r] > 0]
+        assert set(cols) == set(np.nonzero(pcm[r])[0])
