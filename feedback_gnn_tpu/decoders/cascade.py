@@ -1,0 +1,201 @@
+"""Sandwich BP -> (GNN -> BP)^nG cascade: the paper's flagship decoder.
+
+Functional re-design of ``Sandwich_BP_GNN_Evaluation_Model``
+(/root/reference/sionna/fec/ldpc/feedback_gnn.py:232-361): stage-1 BP4, then
+nG rounds of {recompute syndrome of the current estimate, track still-flagged
+samples, feedback-GNN, BP4-16, masked update of still-flagged samples},
+then flagged + logical syndrome computation.
+
+Everything runs in one XLA program with static shapes; the per-round masked
+update replaces the reference's tensor_scatter_nd_update with a jnp.where.
+Batch-last layout throughout; ``axis_name`` threads through to the VN
+reductions for edge-partitioned execution.
+
+The reference swaps logit argument names when calling the GNN
+(feedback_gnn.py:335: ``feedback((h_vn, logit_hz_perp, logit_hx_perp, ...))``
+where ``logit_hz_perp`` is the decoder's z_logit = per-Hx-row logits in
+stage mode).  Here we keep the semantic names: the GNN's ``logit_hx`` is the
+per-Hx-row logit (z_logit of bp4) and ``logit_hz`` is the per-Hz-row logit
+(x_logit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..channels.pauli import depolarizing_probs, pauli_fixed_weight, pauli_iid
+from ..codes.graph import QuantumGraph
+from ..ops.gf2mat import mod2_matmul
+from .bp4 import bp4_decode
+from .gnn_feedback import feedback_gnn_apply
+
+__all__ = ["CascadeConfig", "sandwich_decode", "sandwich_eval_step", "prior_llr"]
+
+
+@dataclass(frozen=True)
+class CascadeConfig:
+    """Decoder schedule for the cascade (n882.py:56-65)."""
+
+    num_iter1: int = 64
+    num_iter2: int = 16
+    factor1: float = 1.0
+    factor2: float = 1.0
+    cn_type: str = "boxplus-phi"
+    num_rounds: int = 3  # nG
+    p0: float = 0.05  # prior used for the uniform llr init
+
+
+def prior_llr(p0, n, batch):
+    """Uniform depolarizing prior llr = log(3(1-p0)/p0) replicated over
+    (x, y, z) (feedback_gnn.py:311-313)."""
+    val = jnp.log(3.0 * (1.0 - p0) / p0)
+    return jnp.full((3, n, batch), val, jnp.float32)
+
+
+def sandwich_decode(
+    graph: QuantumGraph,
+    gnn_params_list: Sequence[Any],
+    cfg: CascadeConfig,
+    llr0,
+    syndrome_x,
+    syndrome_z,
+    gt_sx,
+    gt_sz,
+    axis_name: str | None = None,
+):
+    """Decode given syndromes.  ``gt_sx``/``gt_sz`` are the target syndromes
+    the estimate must reproduce (for the still-flagged tracking,
+    feedback_gnn.py:315-331; they equal syndrome_x/syndrome_z in evaluation).
+
+    Returns (x_hat, z_hat) int32 [n, B].
+    """
+    hz = jnp.asarray(graph.hz)
+    hx = jnp.asarray(graph.hx)
+
+    res = bp4_decode(
+        graph,
+        llr0,
+        syndrome_x,
+        syndrome_z,
+        cfg.num_iter1,
+        cfg.cn_type,
+        cfg.factor1,
+        axis_name=axis_name,
+    )
+    x_hat, z_hat = res.x_hat, res.z_hat
+    # gt comparison tensors [mz+mx, B] (order: [Hz rows; Hx rows], matching
+    # gt = [gt_x; gt_z] = [Hz.nx; Hx.nz] at feedback_gnn.py:315-319)
+    gt = jnp.concatenate([gt_sx, gt_sz], axis=0)
+    errors = jnp.ones(x_hat.shape[-1], bool)
+
+    for r in range(cfg.num_rounds):
+        # syndromes of the current estimate (feedback_gnn.py:324-325)
+        sx_est = mod2_matmul(hz, x_hat)  # [mz, B]
+        sz_est = mod2_matmul(hx, z_hat)  # [mx, B]
+        s_est = jnp.concatenate([sx_est, sz_est], axis=0)
+        new_errors = jnp.any(s_est != gt, axis=0)
+        errors = jnp.logical_and(errors, new_errors)
+
+        h_vn = jnp.stack([res.llrx, res.llry, res.llrz], axis=0)  # [3, n, B]
+        new_llr = feedback_gnn_apply(
+            gnn_params_list[min(r, len(gnn_params_list) - 1)],
+            graph,
+            h_vn,
+            res.z_logit,  # per-Hx-row logits (stage-mode z_logit)
+            res.x_logit,  # per-Hz-row logits (stage-mode x_logit)
+            syndrome_x,
+            syndrome_z,
+            axis_name=axis_name,
+        )
+        res = bp4_decode(
+            graph,
+            new_llr,
+            syndrome_x,
+            syndrome_z,
+            cfg.num_iter2,
+            cfg.cn_type,
+            cfg.factor2,
+            axis_name=axis_name,
+        )
+        # masked update: only still-flagged samples adopt the new estimate
+        x_hat = jnp.where(errors[None, :], res.x_hat, x_hat)
+        z_hat = jnp.where(errors[None, :], res.z_hat, z_hat)
+
+    return x_hat, z_hat
+
+
+def sandwich_eval_step(
+    graph: QuantumGraph,
+    gnn_params_list: Sequence[Any],
+    cfg: CascadeConfig,
+    key,
+    p,
+    batch: int,
+    wt: int | None = None,
+    axis_name: str | None = None,
+    return_full: bool = False,
+):
+    """Full Monte-Carlo evaluation step: sample channel, compute syndromes,
+    run the cascade, return error accounting.
+
+    Mirrors Sandwich_BP_GNN_Evaluation_Model.call (feedback_gnn.py:293-361)
+    but returns device-side counts by default (one int64 pair per batch
+    instead of [B, checks] tensors) to minimise host traffic.
+
+    Returns (flagged_count, logical_count, batch) or, with ``return_full``,
+    (s_hat [mz+mx, B], ls_hat [Rx+Rz, B]).
+    """
+    n = graph.n
+    if wt is not None:
+        noise_x, noise_z = pauli_fixed_weight(key, wt, n, batch)
+    else:
+        px, py, pz = depolarizing_probs(p)
+        noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+
+    hx = jnp.asarray(graph.hx)
+    hz = jnp.asarray(graph.hz)
+    syndrome_x = mod2_matmul(hx, noise_z)  # [mx, B]
+    syndrome_z = mod2_matmul(hz, noise_x)  # [mz, B]
+    # ground-truth syndromes of the true noise for flag tracking
+    gt_sx = mod2_matmul(hz, noise_x)  # [mz, B] (gt_x at feedback_gnn.py:315)
+    gt_sz = mod2_matmul(hx, noise_z)  # [mx, B]
+
+    llr0 = prior_llr(cfg.p0, n, batch)
+    x_hat, z_hat = sandwich_decode(
+        graph,
+        gnn_params_list,
+        cfg,
+        llr0,
+        syndrome_x,
+        syndrome_z,
+        gt_sx,
+        gt_sz,
+        axis_name=axis_name,
+    )
+
+    # residuals and final accounting (feedback_gnn.py:343-361)
+    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), x_hat)
+    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), z_hat)
+
+    sx = mod2_matmul(hz, x_diff)
+    sz = mod2_matmul(hx, z_diff)
+    lsx = mod2_matmul(jnp.asarray(graph.hx_perp), x_diff)
+    lsz = mod2_matmul(jnp.asarray(graph.hz_perp), z_diff)
+
+    s_hat = jnp.concatenate([sx, sz], axis=0)
+    ls_hat = jnp.concatenate([lsx, lsz], axis=0)
+    if return_full:
+        return s_hat.T, ls_hat.T  # batch-first, reference convention
+
+    flagged = jnp.any(s_hat != 0, axis=0)
+    logical = jnp.any(ls_hat != 0, axis=0)
+    flagged_count = jnp.sum(flagged.astype(jnp.int32))
+    logical_count = jnp.sum(logical.astype(jnp.int32))
+    if axis_name is not None:
+        flagged_count = jax.lax.psum(flagged_count, axis_name)
+        logical_count = jax.lax.psum(logical_count, axis_name)
+    return flagged_count, logical_count

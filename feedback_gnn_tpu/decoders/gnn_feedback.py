@@ -1,0 +1,184 @@
+"""Feedback GNN: one learned message-passing step between BP runs.
+
+Functional re-design of the reference ``Feedback_GNN``
+(/root/reference/sionna/fec/ldpc/feedback_gnn.py:20-188): maps the previous
+BP run's output marginals + check logits + syndromes to a fresh per-qubit
+LLR initialisation for the next BP run.
+
+Wiring (feedback_gnn.py:161-188):
+  h_cn   = check_logit * (1 - 2*syndrome)                  per CN
+  feat_e = concat(h_cn[cn(e)], h_vn[:, vn(e)])             per edge  [4]
+  msg_e  = MLP_x/z(feat_e)                                 per edge  [msg_dims]
+  m_v    = mean_e->v msg_e                                 per VN    [msg_dims]
+  h_vn'  = Dense3(MLP_embed(concat(m_x, m_z, h_vn)))       per VN    [3]
+
+Parameters are a plain pytree in the exact order of the reference's pickled
+``get_weights()`` list (verified: 12 arrays, Dense [in, out] kernels), so the
+shipped trained weights import losslessly via :func:`load_reference_weights`.
+
+Layout: batch-last.  h_vn is [3, n, B] (matching the BP4 marginals), logits
+are [num_cn, B].  The per-VN mean uses sum + 1/deg so that under shard_map
+with edge-partitioned graphs the sum can be psum-ed before scaling.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.graph import QuantumGraph, TannerGraph
+from ..ops.dense import dense_bl, init_dense, init_mlp
+
+__all__ = [
+    "init_feedback_gnn",
+    "feedback_gnn_apply",
+    "load_reference_weights",
+    "save_reference_weights",
+]
+
+
+def init_feedback_gnn(
+    key,
+    num_msg_dims: int = 20,
+    num_hidden_units: int = 40,
+    num_mlp_layers: int = 2,
+    use_bias: bool = True,
+):
+    """Fresh parameters matching the reference's architecture and inits
+    (feedback_gnn.py:110-128: llr_inv_embed has zero kernel / ones bias)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = [num_hidden_units] * (num_mlp_layers - 1)
+    params = {
+        # Dense(3): VN embedding -> (llrx, llry, llrz)
+        "llr_inv_embed": init_dense(None, num_hidden_units, 3, use_bias, "zeros"),
+        # edge MLPs: [hidden..., msg_dims], input = 1 (cn logit) + 3 (h_vn)
+        "msg_mlp_x": init_mlp(k1, 4, hidden + [num_msg_dims], use_bias),
+        "msg_mlp_z": init_mlp(k2, 4, hidden + [num_msg_dims], use_bias),
+        # embed MLP: [hidden...], input = 2*msg_dims + 3
+        "embed_mlp": init_mlp(k3, 2 * num_msg_dims + 3, hidden, use_bias),
+    }
+    return params
+
+
+def _mlp_tanh(x, layers):
+    """Hidden layers tanh, last layer linear (n882.py:45-51 config)."""
+    for i, layer in enumerate(layers):
+        act = jnp.tanh if i < len(layers) - 1 else None
+        x = dense_bl(x, layer["kernel"], layer.get("bias"), act)
+    return x
+
+
+def _mlp_all_tanh(x, layers):
+    """The embed MLP keeps the activation on every layer (it is built with
+    num_mlp_layers-1 layers, all activated; feedback_gnn.py:125-128)."""
+    for layer in layers:
+        x = dense_bl(x, layer["kernel"], layer.get("bias"), jnp.tanh)
+    return x
+
+
+def _vn_mean(messages, graph: TannerGraph, axis_name=None):
+    """Mean of per-edge messages at each VN: [F, E, B] -> [F, n, B]."""
+    if graph.vn_uniform and graph.num_edges == graph.num_vn * graph.max_vn_deg:
+        f, _, b = messages.shape
+        s = messages.reshape(f, graph.num_vn, graph.max_vn_deg, b).sum(axis=2)
+    else:
+        pad = jnp.zeros((messages.shape[0], 1, messages.shape[2]), messages.dtype)
+        mp = jnp.concatenate([messages, pad], axis=1)
+        s = (mp[:, graph.vn_edge] * graph.vn_mask[None, :, :, None]).sum(axis=2)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s / graph.vn_deg[None, :, None]
+
+
+def feedback_gnn_apply(
+    params,
+    graph: QuantumGraph,
+    h_vn,
+    logit_hx,
+    logit_hz,
+    syndrome_x,
+    syndrome_z,
+    axis_name=None,
+):
+    """One feedback-GNN step.
+
+    Args:
+      h_vn: [3, n, B] stacked (llrx, llry, llrz) marginals from the last BP.
+      logit_hx / logit_hz: [mx, B] / [mz, B] per-check logits (the Hx-row /
+        Hz-row slices of the BP's x/z perp logits; see cascade.py for the
+        naming swap the reference performs at feedback_gnn.py:335).
+      syndrome_x / syndrome_z: [mx, B] / [mz, B] in {0,1}.
+
+    Returns new llr init [3, n, B] in (x, y, z) order.
+    """
+    syn_x_pm = (1.0 - 2.0 * syndrome_x).astype(jnp.float32)
+    syn_z_pm = (1.0 - 2.0 * syndrome_z).astype(jnp.float32)
+    h_cn_x = (logit_hx * syn_x_pm)[None]  # [1, mx, B]
+    h_cn_z = (logit_hz * syn_z_pm)[None]
+
+    gx, gz = graph.gx, graph.gz
+    # per-edge features: [4, E, B] = concat(cn feature, vn features)
+    feat_x = jnp.concatenate(
+        [h_cn_x[:, gx.edge_cn], h_vn[:, gx.edge_vn]], axis=0
+    )
+    feat_z = jnp.concatenate(
+        [h_cn_z[:, gz.edge_cn], h_vn[:, gz.edge_vn]], axis=0
+    )
+
+    msg_x = _mlp_tanh(feat_x, params["msg_mlp_x"])  # [msg_dims, E, B]
+    msg_z = _mlp_tanh(feat_z, params["msg_mlp_z"])
+
+    m_x = _vn_mean(msg_x, gx, axis_name)  # [msg_dims, n, B]
+    m_z = _vn_mean(msg_z, gz, axis_name)
+
+    embed_in = jnp.concatenate([m_x, m_z, h_vn], axis=0)  # [2*msg+3, n, B]
+    h = _mlp_all_tanh(embed_in, params["embed_mlp"])  # [hidden, n, B]
+    out = dense_bl(
+        h, params["llr_inv_embed"]["kernel"], params["llr_inv_embed"].get("bias")
+    )  # [3, n, B] in (x, y, z) order
+    return out
+
+
+def load_reference_weights(path: str):
+    """Import a reference weight pickle (gnn.py:774) into our param pytree.
+
+    The Keras ``get_weights()`` order for Feedback_GNN is:
+      [llr_inv_embed K, b, msg_mlp_x l0 K, b, l1 K, b,
+       msg_mlp_z l0 K, b, l1 K, b, embed_mlp l0 K, b]
+    (verified against the 4 shipped pickles: shapes (40,3)(3,)(4,40)(40,)
+    (40,20)(20,)x2 (43,40)(40,)).
+    """
+    with open(path, "rb") as f:
+        w = pickle.load(f)
+    w = [jnp.asarray(np.asarray(a), jnp.float32) for a in w]
+    assert len(w) == 12, f"expected 12 arrays, got {len(w)}"
+    return {
+        "llr_inv_embed": {"kernel": w[0], "bias": w[1]},
+        "msg_mlp_x": [
+            {"kernel": w[2], "bias": w[3]},
+            {"kernel": w[4], "bias": w[5]},
+        ],
+        "msg_mlp_z": [
+            {"kernel": w[6], "bias": w[7]},
+            {"kernel": w[8], "bias": w[9]},
+        ],
+        "embed_mlp": [{"kernel": w[10], "bias": w[11]}],
+    }
+
+
+def save_reference_weights(params, path: str):
+    """Export params back to the reference pickle format."""
+    w = [
+        params["llr_inv_embed"]["kernel"],
+        params["llr_inv_embed"]["bias"],
+    ]
+    for name in ("msg_mlp_x", "msg_mlp_z", "embed_mlp"):
+        for layer in params[name]:
+            w.append(layer["kernel"])
+            w.append(layer["bias"])
+    w = [np.asarray(a, np.float32) for a in w]
+    with open(path, "wb") as f:
+        pickle.dump(w, f)

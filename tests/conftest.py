@@ -1,14 +1,24 @@
-"""Test configuration: force an 8-device virtual CPU platform so sharding
-tests run without TPU hardware, before jax is imported anywhere."""
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Note: this environment's sitecustomize registers a remote-TPU ("axon") PJRT
+backend and forces ``jax_platforms="axon,cpu"`` via jax.config at interpreter
+start — the JAX_PLATFORMS env var alone does NOT win.  We override the config
+again here before any backend is initialised, so the test suite runs entirely
+on the virtual 8-device CPU mesh (the single real TPU chip is reserved for
+bench.py, one process at a time)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
