@@ -78,6 +78,9 @@ class RowSet:
     # [num_rows, max_deg] float32 {0,1}
     mask: np.ndarray
     uniform: bool
+    # [num_rows] float32 {0,1}: 0 marks phantom rows introduced by edge
+    # sharding (parallel/shard.py); all-ones for unsharded graphs
+    row_valid: np.ndarray = None
 
 
 def build_graph(pcm: np.ndarray) -> TannerGraph:
@@ -156,6 +159,7 @@ def build_rowset(pcm: np.ndarray) -> RowSet:
         vn_idx=vn_idx,
         mask=mask,
         uniform=bool((deg == max_deg).all()),
+        row_valid=np.ones((num_rows,), dtype=np.float32),
     )
 
 
@@ -183,6 +187,10 @@ class QuantumGraph:
     logit_rows_z: RowSet  # rows of pcm_z_perp (gathers llr_z)
     name: str = ""
 
+    # hx/hz row counts can differ from gx/gz.num_cn under edge sharding
+    # (phantom padding); static bool marks sharded instances
+    is_shard: bool = False
+
     @staticmethod
     def from_code(code, stage_mode: bool = True) -> "QuantumGraph":
         pcm_x_perp = code.hz if stage_mode else code.hx_perp
@@ -202,3 +210,75 @@ class QuantumGraph:
             logit_rows_z=build_rowset(pcm_z_perp),
             name=getattr(code, "name", ""),
         )
+
+
+# ---------------------------------------------------------------------------
+# Pytree registration: array fields are leaves, static metadata is aux data.
+# This lets sharded graph bundles (leading shard axis on every leaf) flow
+# through shard_map as ordinary arguments (parallel/shard.py).
+# ---------------------------------------------------------------------------
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_TG_LEAVES = (
+    "edge_vn",
+    "edge_cn",
+    "vn_edge",
+    "vn_mask",
+    "vn_deg",
+    "cn_edge",
+    "cn_mask",
+    "cn_deg",
+    "edge_cn_slot",
+)
+_TG_AUX = ("num_vn", "num_cn", "num_edges", "max_vn_deg", "max_cn_deg", "vn_uniform", "cn_uniform")
+
+
+def _tg_flatten(g):
+    return tuple(getattr(g, f) for f in _TG_LEAVES), tuple(getattr(g, f) for f in _TG_AUX)
+
+
+def _tg_unflatten(aux, leaves):
+    return TannerGraph(**dict(zip(_TG_AUX, aux)), **dict(zip(_TG_LEAVES, leaves)))
+
+
+_jtu.register_pytree_node(TannerGraph, _tg_flatten, _tg_unflatten)
+
+_RS_LEAVES = ("vn_idx", "mask", "row_valid")
+_RS_AUX = ("num_rows", "max_deg", "uniform")
+
+
+def _rs_flatten(r):
+    return tuple(getattr(r, f) for f in _RS_LEAVES), tuple(getattr(r, f) for f in _RS_AUX)
+
+
+def _rs_unflatten(aux, leaves):
+    return RowSet(**dict(zip(_RS_AUX, aux)), **dict(zip(_RS_LEAVES, leaves)))
+
+
+_jtu.register_pytree_node(RowSet, _rs_flatten, _rs_unflatten)
+
+_QG_LEAVES = (
+    "gx",
+    "gz",
+    "hx",
+    "hz",
+    "hx_perp",
+    "hz_perp",
+    "lx",
+    "lz",
+    "logit_rows_x",
+    "logit_rows_z",
+)
+_QG_AUX = ("n", "k", "name", "is_shard")
+
+
+def _qg_flatten(g):
+    return tuple(getattr(g, f) for f in _QG_LEAVES), tuple(getattr(g, f) for f in _QG_AUX)
+
+
+def _qg_unflatten(aux, leaves):
+    return QuantumGraph(**dict(zip(_QG_AUX, aux)), **dict(zip(_QG_LEAVES, leaves)))
+
+
+_jtu.register_pytree_node(QuantumGraph, _qg_flatten, _qg_unflatten)

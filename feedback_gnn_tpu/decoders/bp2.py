@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..codes.graph import TannerGraph
 from .cn_update import CN_UPDATES, LLR_MAX
-from .graph_ops import expand_vn, gather_to_cn, scatter_from_cn, vn_sum
+from .graph_ops import expand_vn, gather_to_cn, pvary, scatter_from_cn, vn_sum
 
 __all__ = ["BP2Result", "bp2_decode"]
 
@@ -67,7 +67,9 @@ def bp2_decode(
         mc = cn_update(mc, syn_pm, cn_mask) * normalization_factor
         return scatter_from_cn(mc, graph), None
 
-    msg0 = jnp.zeros((graph.num_edges, b), jnp.float32)
+    # carry the joined varying-manual-axes of the inputs (see bp4.py)
+    vma_seed = 0.0 * (jnp.sum(llr) + jnp.sum(syn_pm))
+    msg0 = jnp.zeros((graph.num_edges, b), jnp.float32) + vma_seed
     msg, _ = jax.lax.scan(step, msg0, None, length=num_iter)
 
     marg = llr + vn_sum(msg, graph, axis_name)

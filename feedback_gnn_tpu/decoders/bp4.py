@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..codes.graph import QuantumGraph
 from .cn_update import CN_UPDATES, boxplus_rows
-from .graph_ops import expand_vn, gather_to_cn, scatter_from_cn, vn_sum
+from .graph_ops import expand_vn, gather_to_cn, pvary, scatter_from_cn, vn_sum
 
 __all__ = ["BP4Result", "bp4_decode", "quaternary_to_binary_llrs", "hard_decision"]
 
@@ -165,9 +165,13 @@ def bp4_decode(
 
         return (msg_x, msg_z), ys
 
+    # zero initial messages, but carrying the joined varying-manual-axes of
+    # the inputs (llr + syndromes) so scan carries type-check under
+    # shard_map(check_vma=True) on any mesh
+    vma_seed = 0.0 * (jnp.sum(llr_ch) + jnp.sum(syn_x_pm) + jnp.sum(syn_z_pm))
     msg0 = (
-        jnp.zeros((gx.num_edges, b), jnp.float32),
-        jnp.zeros((gz.num_edges, b), jnp.float32),
+        jnp.zeros((gx.num_edges, b), jnp.float32) + vma_seed,
+        jnp.zeros((gz.num_edges, b), jnp.float32) + vma_seed,
     )
     (msg_x, msg_z), stack = jax.lax.scan(step, msg0, None, length=num_iter)
 

@@ -98,6 +98,11 @@ def sandwich_decode(
         sz_est = mod2_matmul(hx, z_hat)  # [mx, B]
         s_est = jnp.concatenate([sx_est, sz_est], axis=0)
         new_errors = jnp.any(s_est != gt, axis=0)
+        if axis_name is not None:
+            # rows are sharded over the edge axis: or-reduce across shards
+            new_errors = (
+                jax.lax.psum(new_errors.astype(jnp.int32), axis_name) > 0
+            )
         errors = jnp.logical_and(errors, new_errors)
 
         h_vn = jnp.stack([res.llrx, res.llry, res.llrz], axis=0)  # [3, n, B]
@@ -137,6 +142,7 @@ def sandwich_eval_step(
     batch: int,
     wt: int | None = None,
     axis_name: str | None = None,
+    data_axis: str | None = None,
     return_full: bool = False,
 ):
     """Full Monte-Carlo evaluation step: sample channel, compute syndromes,
@@ -146,10 +152,16 @@ def sandwich_eval_step(
     but returns device-side counts by default (one int64 pair per batch
     instead of [B, checks] tensors) to minimise host traffic.
 
-    Returns (flagged_count, logical_count, batch) or, with ``return_full``,
-    (s_hat [mz+mx, B], ls_hat [Rx+Rz, B]).
+    ``axis_name`` is the edge-sharding mesh axis (CN/row-partitioned),
+    ``data_axis`` the batch-sharding axis; either or both may be None.
+    ``batch`` is the per-shard local batch size.
+
+    Returns (flagged_count, logical_count) or, with ``return_full``,
+    (s_hat [mz+mx, B], ls_hat [Rx+Rz, B]) batch-first.
     """
     n = graph.n
+    if data_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
     if wt is not None:
         noise_x, noise_z = pauli_fixed_weight(key, wt, n, batch)
     else:
@@ -193,9 +205,14 @@ def sandwich_eval_step(
 
     flagged = jnp.any(s_hat != 0, axis=0)
     logical = jnp.any(ls_hat != 0, axis=0)
+    if axis_name is not None:
+        # rows sharded over the edge axis: per-sample or-reduce first
+        flagged = jax.lax.psum(flagged.astype(jnp.int32), axis_name) > 0
+        logical = jax.lax.psum(logical.astype(jnp.int32), axis_name) > 0
     flagged_count = jnp.sum(flagged.astype(jnp.int32))
     logical_count = jnp.sum(logical.astype(jnp.int32))
-    if axis_name is not None:
-        flagged_count = jax.lax.psum(flagged_count, axis_name)
-        logical_count = jax.lax.psum(logical_count, axis_name)
+    if data_axis is not None:
+        # batch sharded over the data axis: sum counts across shards
+        flagged_count = jax.lax.psum(flagged_count, data_axis)
+        logical_count = jax.lax.psum(logical_count, data_axis)
     return flagged_count, logical_count

@@ -16,7 +16,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pad_edge_rows", "vn_sum", "gather_to_cn", "scatter_from_cn", "expand_vn"]
+__all__ = [
+    "pad_edge_rows",
+    "vn_sum",
+    "gather_to_cn",
+    "scatter_from_cn",
+    "expand_vn",
+    "pvary",
+]
+
+
+def pvary(x, axis_name):
+    """Mark a replicated value as varying over ``axis_name`` so shard_map's
+    varying-manual-axes checker (check_vma=True) accepts scan carries that
+    become shard-dependent after the first iteration.  No-op outside
+    shard_map (axis_name None)."""
+    if axis_name is None:
+        return x
+    if hasattr(jax.lax, "pvary"):
+        return jax.lax.pvary(x, (axis_name,))
+    return jax.lax.pcast(x, (axis_name,), to="varying")  # pragma: no cover
 
 
 def pad_edge_rows(msg):

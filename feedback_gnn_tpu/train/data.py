@@ -1,0 +1,134 @@
+"""Failure-mining dataset generation (reference: examples/Generate_dataset.ipynb).
+
+Curriculum (SURVEY.md §3.3):
+ 1. "easy" set: fixed-weight Pauli noise that plain BP4-64 fails to decode
+    (flagged), mined per weight wt in a range, shards concatenated;
+ 2. "hard" set: noise that survives BP64 -> coarse GNN -> BP64;
+ 3. final mix: easy + hard x 50 oversampling.
+
+Device steps keep static shapes and return (noise_x, noise_z, flagged); the
+host strips to the flagged subset — same split the reference uses (its XLA
+model returns noise[err] with a dynamic shape, forcing retraces; ours never
+retraces).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channels.pauli import pauli_fixed_weight
+from ..codes.graph import QuantumGraph
+from ..decoders.bp4 import bp4_decode
+from ..decoders.cascade import prior_llr
+from ..decoders.gnn_feedback import feedback_gnn_apply
+from ..ops.gf2mat import mod2_matmul
+
+__all__ = [
+    "make_bp_failure_miner",
+    "make_cascade_failure_miner",
+    "mine_failures",
+    "mix_easy_hard",
+    "batch_iterator",
+]
+
+
+def _flagged_after(graph, x_hat, z_hat, noise_x, noise_z):
+    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), x_hat)
+    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), z_hat)
+    sx = mod2_matmul(jnp.asarray(graph.hz), x_diff)
+    sz = mod2_matmul(jnp.asarray(graph.hx), z_diff)
+    return jnp.logical_or(jnp.any(sx != 0, axis=0), jnp.any(sz != 0, axis=0))
+
+
+def make_bp_failure_miner(graph: QuantumGraph, num_iter=64, p0=0.05, cn_type="boxplus-phi"):
+    """Returns jitted (key, wt static, batch static) -> (noise_x [n,B],
+    noise_z, flagged [B]) — BP4_Error_Model of Generate_dataset.ipynb cell 1."""
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def miner(key, wt, batch):
+        noise_x, noise_z = pauli_fixed_weight(key, wt, graph.n, batch)
+        syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
+        syndrome_z = mod2_matmul(jnp.asarray(graph.hz), noise_x)
+        llr0 = prior_llr(p0, graph.n, batch)
+        res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type)
+        flagged = _flagged_after(graph, res.x_hat, res.z_hat, noise_x, noise_z)
+        return noise_x, noise_z, flagged
+
+    return miner
+
+
+def make_cascade_failure_miner(
+    graph: QuantumGraph,
+    gnn_params,
+    num_iter1=64,
+    num_iter2=64,
+    p0=0.05,
+    cn_type="boxplus-phi",
+):
+    """Hard-example miner: errors still flagged after BP64 -> coarse GNN ->
+    BP64 (Feedback_GNN_Error_Model, Generate_dataset.ipynb cell 8)."""
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def miner(key, wt, batch):
+        noise_x, noise_z = pauli_fixed_weight(key, wt, graph.n, batch)
+        syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
+        syndrome_z = mod2_matmul(jnp.asarray(graph.hz), noise_x)
+        llr0 = prior_llr(p0, graph.n, batch)
+        res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter1, cn_type)
+        h_vn = jnp.stack([res.llrx, res.llry, res.llrz], axis=0)
+        new_llr = feedback_gnn_apply(
+            gnn_params, graph, h_vn, res.z_logit, res.x_logit, syndrome_x, syndrome_z
+        )
+        res2 = bp4_decode(graph, new_llr, syndrome_x, syndrome_z, num_iter2, cn_type)
+        flagged = _flagged_after(graph, res2.x_hat, res2.z_hat, noise_x, noise_z)
+        return noise_x, noise_z, flagged
+
+    return miner
+
+
+def mine_failures(miner, key, weights, batches_per_weight, batch_size, out_dir=None, prefix=""):
+    """Run a miner over a weight schedule; returns dict wt -> (x, z) arrays
+    of failed noise in [num_failed, n] layout (batch-first on host, matching
+    the reference's .npy shards)."""
+    shards = {}
+    for wt in weights:
+        xs, zs = [], []
+        for b in range(batches_per_weight):
+            k = jax.random.fold_in(jax.random.fold_in(key, wt), b)
+            noise_x, noise_z, flagged = miner(k, int(wt), int(batch_size))
+            mask = np.asarray(flagged)
+            xs.append(np.asarray(noise_x).T[mask])
+            zs.append(np.asarray(noise_z).T[mask])
+        x = np.vstack(xs).astype(np.uint8)
+        z = np.vstack(zs).astype(np.uint8)
+        shards[wt] = (x, z)
+        if out_dir:
+            np.save(os.path.join(out_dir, f"{prefix}_wt{wt}_x.npy"), x)
+            np.save(os.path.join(out_dir, f"{prefix}_wt{wt}_z.npy"), z)
+    return shards
+
+
+def mix_easy_hard(easy, hard, hard_oversample=50):
+    """Final training mix: easy + hard x oversample
+    (Generate_dataset.ipynb cells 13/16)."""
+    ex, ez = easy
+    hx_, hz_ = hard
+    x = np.vstack([ex] + [hx_] * hard_oversample)
+    z = np.vstack([ez] + [hz_] * hard_oversample)
+    return x, z
+
+
+def batch_iterator(x, z, batch_size, key, drop_remainder=True):
+    """Shuffled epoch iterator yielding device-layout [n, B] pairs
+    (replaces the reference's tf.data pipeline)."""
+    num = x.shape[0]
+    perm = np.asarray(jax.random.permutation(key, num))
+    stop = num - (num % batch_size) if drop_remainder else num
+    for s in range(0, stop, batch_size):
+        idx = perm[s : s + batch_size]
+        yield jnp.asarray(x[idx].T), jnp.asarray(z[idx].T)
