@@ -1,0 +1,96 @@
+"""Benchmark: decoded syndromes/s of the north-star workload on real TPU.
+
+Workload: [[1270,28]] QC-GHP code, nG=5 feedback-GNN cascade (BP4-64 +
+5 x (GNN + BP4-16), boxplus-phi, factor 1.0), depolarizing p=0.05,
+end-to-end including channel sampling, syndrome computation and error
+accounting — the configuration of BASELINE.md's "[[1270,28]] nG=5 cascade"
+rows (reference: ~4460 syndromes/s on an RTX 4090 at bs=5000).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_SYNDROMES_PER_S = 4460.0  # BASELINE.md: n1270 nG=5 cascade, RTX 4090
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def build_graph_cached():
+    """Code construction is host-side NumPy (~10s for n1270); cache the
+    device layout between runs."""
+    import pickle
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, "n1270_graph.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    from feedback_gnn_tpu.codes import ghp_1270_28
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+
+    graph = QuantumGraph.from_code(ghp_1270_28(), stage_mode=True)
+    with open(path, "wb") as f:
+        pickle.dump(graph, f)
+    return graph
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn, sandwich_eval_step
+    from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
+
+    batch = int(os.environ.get("BENCH_BATCH", 10000))
+    p = float(os.environ.get("BENCH_P", 0.05))
+    n_timed = int(os.environ.get("BENCH_ITERS", 5))
+
+    graph = build_graph_cached()
+    wpath = (
+        "/root/reference/sionna/fec/ldpc/weights/"
+        "feedback_GNN_n1270_k28_wt_10_80_iter_64_16_mixed.npy"
+    )
+    if os.path.exists(wpath):
+        params = load_reference_weights(wpath)
+    else:  # pragma: no cover
+        params = init_feedback_gnn(jax.random.PRNGKey(0))
+
+    cfg = CascadeConfig(num_iter1=64, num_iter2=16, num_rounds=5, p0=0.05)
+
+    @jax.jit
+    def step(key, p):
+        return sandwich_eval_step(graph, [params], cfg, key, p, batch)
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    t0 = time.perf_counter()
+    out = step(key, jnp.float32(p))
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+first-batch: {compile_s:.1f}s  device={jax.devices()[0]}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        out = step(jax.random.fold_in(key, i + 1), jnp.float32(p))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    syndromes_per_s = batch * n_timed / dt
+    print(f"# {n_timed} batches of {batch} in {dt:.3f}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "n1270_nG5_cascade_syndromes_per_s",
+                "value": round(syndromes_per_s, 1),
+                "unit": "syndromes/s",
+                "vs_baseline": round(syndromes_per_s / BASELINE_SYNDROMES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
