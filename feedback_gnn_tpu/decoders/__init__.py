@@ -8,3 +8,5 @@ from .gnn_feedback import (
     save_reference_weights,
 )
 from .cascade import CascadeConfig, sandwich_decode, sandwich_eval_step, prior_llr
+from .osd import osd0_decode, bp_osd_correct
+from .gnn_full import GNNBP4Config, init_gnn_bp4, gnn_bp4_apply, gnn_bp4_loss, make_logit_rowsets

@@ -1,0 +1,258 @@
+"""Fully-learned GNN Tanner-graph decoder (GNN_BP4).
+
+Re-design of the reference ``GNN_BP4`` (/root/reference/sionna/fec/ldpc/
+gnn.py:71-423): a message-passing network over the two Tanner graphs that
+takes ONLY syndromes as input and maintains learnable CN/VN embeddings.
+
+Per iteration (gnn.py:383-423):
+  h_vn   <- UpdateVNEmbeddings(h_cn_x, h_cn_z, h_vn, syn_x, syn_z)
+            (per-edge MLPs, syndrome-signed messages, mean-reduce, gnn.py:714)
+  logits <- cal_logit(h_vn): llr_inv_embed -> binary llrs -> boxplus over
+            hx/hz AND lx/lz rows (gnn.py:289-314)
+  h_cn   <- UpdateCNEmbeddings(h_vn, h_cn_x, h_cn_z, hx_logit*syn, hz_logit*syn)
+
+Note: the reference's ``call`` unpacks 5 values from cal_logit which returns
+4 (gnn.py:408 vs :314) — the shipped code would crash; we fix the arity and
+keep the documented semantics (README.md:46: results not in the paper).
+
+Layout: batch-last; embeddings are [d_e, nodes, B] with the feature axis
+leading (dense layers contract the leading axis, ops/dense.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.graph import QuantumGraph, RowSet, TannerGraph, build_rowset
+from ..ops.dense import dense_bl, init_dense, init_mlp
+from .cn_update import boxplus_rows
+from .bp4 import hard_decision, quaternary_to_binary_llrs
+
+__all__ = ["GNNBP4Config", "init_gnn_bp4", "gnn_bp4_apply", "gnn_bp4_loss"]
+
+
+class GNNBP4Config(NamedTuple):
+    num_embed_dims: int = 20
+    num_msg_dims: int = 20
+    num_hidden_units: int = 40
+    num_mlp_layers: int = 2
+    num_iter: int = 8
+    activation: str = "relu"
+    use_bias: bool = False
+    reduce_op: str = "mean"
+
+
+def _act(name):
+    return {"relu": jax.nn.relu, "tanh": jnp.tanh}[name]
+
+
+def _mlp(x, layers, act):
+    for i, layer in enumerate(layers):
+        a = act if i < len(layers) - 1 else None
+        x = dense_bl(x, layer["kernel"], layer.get("bias"), a)
+    return x
+
+
+def init_gnn_bp4(key, cfg: GNNBP4Config):
+    ks = jax.random.split(key, 10)
+    h, m, e = cfg.num_hidden_units, cfg.num_msg_dims, cfg.num_embed_dims
+    L = cfg.num_mlp_layers
+    hidden = [h] * (L - 1)
+    feat = 2 * e  # concat(from, to) embeddings per edge
+    return {
+        # CN update: X and Z sides have separate msg and embed MLPs
+        "cn_msg_mlp_x": init_mlp(ks[0], feat, hidden + [m], cfg.use_bias),
+        "cn_msg_mlp_z": init_mlp(ks[1], feat, hidden + [m], cfg.use_bias),
+        "cn_embed_mlp_x": init_mlp(ks[2], m + e + 1, hidden + [e], cfg.use_bias),
+        "cn_embed_mlp_z": init_mlp(ks[3], m + e + 1, hidden + [e], cfg.use_bias),
+        # VN update
+        "vn_msg_mlp_x": init_mlp(ks[4], feat, hidden + [m], cfg.use_bias),
+        "vn_msg_mlp_z": init_mlp(ks[5], feat, hidden + [m], cfg.use_bias),
+        "vn_embed_mlp": init_mlp(ks[6], 2 * m + e, hidden + [e], cfg.use_bias),
+        # embedding -> (llrx, llry, llrz)
+        "llr_inv_embed": init_dense(ks[7], e, 3, use_bias=True),
+    }
+
+
+def _edge_features(h_from, h_to, from_idx, to_idx):
+    """concat(gather(h_from), gather(h_to)) along the feature axis:
+    [2*d_e, E, B]."""
+    return jnp.concatenate([h_from[:, from_idx], h_to[:, to_idx]], axis=0)
+
+
+def _reduce_nodes(messages, graph: TannerGraph, side: str, reduce_op: str, axis_name=None):
+    """Aggregate per-edge messages [m, E, B] at VNs or CNs -> [m, N, B]."""
+    if side == "vn":
+        idx, mask, deg = graph.vn_edge, graph.vn_mask, graph.vn_deg
+    else:
+        idx, mask, deg = graph.cn_edge, graph.cn_mask, graph.cn_deg
+    pad = jnp.zeros((messages.shape[0], 1, messages.shape[2]), messages.dtype)
+    mp = jnp.concatenate([messages, pad], axis=1)
+    g = mp[:, idx] * mask[None, :, :, None]  # [m, N, D, B]
+    s = g.sum(axis=2)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    if reduce_op == "sum":
+        return s
+    if reduce_op == "mean":
+        return s / jnp.maximum(deg, 1.0)[None, :, None]
+    raise ValueError(reduce_op)
+
+
+def _cal_logit(params, graph: QuantumGraph, lrowsets, h_vn):
+    """llr_inv_embed -> binary llrs -> boxplus over [hz; lz] / [hx; lx] rows
+    (gnn.py:289-314).  Returns (hx_logit, hz_logit, x_perp_logit,
+    z_perp_logit)."""
+    emb = dense_bl(
+        h_vn, params["llr_inv_embed"]["kernel"], params["llr_inv_embed"].get("bias")
+    )  # [3, n, B]
+    llrx, llry, llrz = emb[0], emb[1], emb[2]
+    llr_x, llr_z = quaternary_to_binary_llrs(llrx, llry, llrz)
+    rows_hx, rows_hz, rows_lx, rows_lz = lrowsets
+
+    def pad(v):
+        return jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)], axis=0)
+
+    hz_logit = boxplus_rows(pad(llr_x), rows_hz)  # X-error checks
+    lz_logit = boxplus_rows(pad(llr_x), rows_lz)
+    hx_logit = boxplus_rows(pad(llr_z), rows_hx)  # Z-error checks
+    lx_logit = boxplus_rows(pad(llr_z), rows_lx)
+    x_perp_logit = jnp.concatenate([hz_logit, lz_logit], axis=0)
+    z_perp_logit = jnp.concatenate([hx_logit, lx_logit], axis=0)
+    return hx_logit, hz_logit, x_perp_logit, z_perp_logit, (llrx, llry, llrz)
+
+
+def make_logit_rowsets(graph: QuantumGraph):
+    """RowSets for cal_logit: hx, hz, lx, lz rows (gnn.py:304-313)."""
+    return (
+        build_rowset(np.asarray(graph.hx)),
+        build_rowset(np.asarray(graph.hz)),
+        build_rowset(np.asarray(graph.lx)),
+        build_rowset(np.asarray(graph.lz)),
+    )
+
+
+def gnn_bp4_apply(
+    params,
+    graph: QuantumGraph,
+    lrowsets,
+    syndrome_x,
+    syndrome_z,
+    cfg: GNNBP4Config,
+    collect_logits: bool = False,
+    axis_name=None,
+):
+    """Decode from syndromes alone.
+
+    Returns (x_hat, z_hat, logit_stack) where logit_stack (when collected)
+    is a list of (x_perp_logit, z_perp_logit) per iteration for the loss.
+    """
+    act = _act(cfg.activation)
+    gx, gz = graph.gx, graph.gz
+    b = syndrome_x.shape[-1]
+    e = cfg.num_embed_dims
+
+    syn_x_pm = (1.0 - 2.0 * syndrome_x).astype(jnp.float32)  # [mx, B]
+    syn_z_pm = (1.0 - 2.0 * syndrome_z).astype(jnp.float32)
+
+    h_vn = jnp.ones((e, graph.n, b), jnp.float32)
+    h_cn_x = jnp.zeros((e, gx.num_cn, b), jnp.float32)
+    h_cn_z = jnp.zeros((e, gz.num_cn, b), jnp.float32)
+
+    def update_cn(h_vn, h_cn_x, h_cn_z, hx_logit, hz_logit):
+        # "from VN to CN": from = vn endpoint, to = cn endpoint (gnn.py:256)
+        feat_x = _edge_features(h_vn, h_cn_x, gx.edge_vn, gx.edge_cn)
+        feat_z = _edge_features(h_vn, h_cn_z, gz.edge_vn, gz.edge_cn)
+        msg_x = _mlp(feat_x, params["cn_msg_mlp_x"], act)
+        msg_z = _mlp(feat_z, params["cn_msg_mlp_z"], act)
+        m_x = _reduce_nodes(msg_x, gx, "cn", cfg.reduce_op)
+        m_z = _reduce_nodes(msg_z, gz, "cn", cfg.reduce_op)
+        new_x = _mlp(
+            jnp.concatenate([m_x, h_cn_x, hx_logit[None]], axis=0),
+            params["cn_embed_mlp_x"],
+            act,
+        )
+        new_z = _mlp(
+            jnp.concatenate([m_z, h_cn_z, hz_logit[None]], axis=0),
+            params["cn_embed_mlp_z"],
+            act,
+        )
+        return new_x, new_z
+
+    def update_vn(h_cn_x, h_cn_z, h_vn):
+        feat_x = _edge_features(h_cn_x, h_vn, gx.edge_cn, gx.edge_vn)
+        feat_z = _edge_features(h_cn_z, h_vn, gz.edge_cn, gz.edge_vn)
+        msg_x = _mlp(feat_x, params["vn_msg_mlp_x"], act)
+        msg_z = _mlp(feat_z, params["vn_msg_mlp_z"], act)
+        # syndrome-signed messages (gnn.py:733-737)
+        msg_x = msg_x * syn_x_pm[None, gx.edge_cn]
+        msg_z = msg_z * syn_z_pm[None, gz.edge_cn]
+        m_x = _reduce_nodes(msg_x, gx, "vn", cfg.reduce_op, axis_name)
+        m_z = _reduce_nodes(msg_z, gz, "vn", cfg.reduce_op, axis_name)
+        return _mlp(
+            jnp.concatenate([m_x, m_z, h_vn], axis=0), params["vn_embed_mlp"], act
+        )
+
+    # initial CN update with zero logits (gnn.py:400-401)
+    h_cn_x, h_cn_z = update_cn(
+        h_vn, h_cn_x, h_cn_z, jnp.zeros_like(syn_x_pm), jnp.zeros_like(syn_z_pm)
+    )
+
+    stack = [] if collect_logits else None
+    llrs = None
+    for i in range(cfg.num_iter):
+        h_vn = update_vn(h_cn_x, h_cn_z, h_vn)
+        hx_logit, hz_logit, x_perp, z_perp, llrs = _cal_logit(
+            params, graph, lrowsets, h_vn
+        )
+        if collect_logits:
+            stack.append((x_perp, z_perp))
+        if i == cfg.num_iter - 1:
+            break
+        h_cn_x, h_cn_z = update_cn(
+            h_vn, h_cn_x, h_cn_z, hx_logit * syn_x_pm, hz_logit * syn_z_pm
+        )
+
+    x_hat, z_hat = hard_decision(*llrs)
+    return x_hat, z_hat, stack
+
+
+def gnn_bp4_loss(
+    params,
+    graph: QuantumGraph,
+    lrowsets,
+    cfg: GNNBP4Config,
+    noise_x,
+    noise_z,
+    loss_from: int = 0,
+):
+    """Deep-supervision BCE over the per-iteration perp logits.
+
+    Labels: x_perp rows are [hz; lz] — the hz block must reproduce
+    1 - syndrome_z and the lz block 1 - (lz @ noise_x mod 2); analogously for
+    z_perp (label flip as in feedback_gnn.py:431-432)."""
+    from ..ops.gf2mat import mod2_matmul
+    from ..train.loss import bce_with_logits
+
+    hx = jnp.asarray(graph.hx)
+    hz = jnp.asarray(graph.hz)
+    syndrome_x = mod2_matmul(hx, noise_z)
+    syndrome_z = mod2_matmul(hz, noise_x)
+    lsz = mod2_matmul(jnp.asarray(graph.lz), noise_x.astype(jnp.int32))
+    lsx = mod2_matmul(jnp.asarray(graph.lx), noise_z.astype(jnp.int32))
+
+    gt_x = 1.0 - jnp.concatenate([syndrome_z, lsz], axis=0).astype(jnp.float32)
+    gt_z = 1.0 - jnp.concatenate([syndrome_x, lsx], axis=0).astype(jnp.float32)
+
+    _, _, stack = gnn_bp4_apply(
+        params, graph, lrowsets, syndrome_x, syndrome_z, cfg, collect_logits=True
+    )
+    loss = 0.0
+    for i in range(loss_from, cfg.num_iter):
+        x_perp, z_perp = stack[i]
+        loss = loss + bce_with_logits(gt_x, x_perp) + bce_with_logits(gt_z, z_perp)
+    return loss

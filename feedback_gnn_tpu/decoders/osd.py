@@ -1,0 +1,126 @@
+"""Batched order-0 ordered-statistics decoding (OSD-0) on device.
+
+Re-design of the reference ``OSD0_Decoder`` + ``BP4_OSD_Model``
+(/root/reference/sionna/fec/ldpc/bp_osd.py): sort qubits by reliability,
+append the syndrome column, run a rank-step batched GF(2) Gaussian
+elimination with per-row argmax pivoting, scatter the solution back through
+the inverse sort.
+
+TPU-native differences:
+
+* the elimination is a ``lax.fori_loop`` over int32 bitwise ops (the
+  reference uses float adds + int_mod_2);
+* the flagged-subset handling keeps static shapes: the host compacts flagged
+  samples into a fixed-capacity buffer (padded with all-zero syndromes which
+  decode trivially) instead of the reference's dynamic boolean-mask reshape
+  that retraces per batch (bp_osd.py:149 "XLA bug of masking" comment);
+* OSD batches are small (only BP failures), so this path is latency- not
+  throughput-critical; batch-first layout keeps the pivot bookkeeping simple.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.gf2mat import mod2_matmul
+from .bp4 import quaternary_to_binary_llrs
+
+__all__ = ["osd0_decode", "bp_osd_correct"]
+
+
+def osd0_decode(llr, pcm, syndrome):
+    """OSD-0 decode.
+
+    Args:
+      llr: [B, n] float32 — reliability, most reliable = largest (sorted
+        ascending like the reference: tf.argsort default ascending, so the
+        LEAST reliable / most-likely-flipped columns come first).
+      pcm: [rank, n] 0/1 — full-rank parity-check basis (shared).
+      syndrome: [rank, B] 0/1 — pivot-reduced syndromes.
+
+    Returns e_hat [B, n] int32.
+    """
+    bsz, n = llr.shape
+    rank = pcm.shape[0]
+
+    sort_order = jnp.argsort(llr, axis=-1)  # [B, n]
+    inv_sort = jnp.argsort(sort_order, axis=-1)
+
+    # permuted pcm per sample + syndrome column: [B, rank, n+1]
+    pcm_b = jnp.broadcast_to(pcm.astype(jnp.int32)[None], (bsz, rank, n))
+    pcm_perm = jnp.take_along_axis(pcm_b, sort_order[:, None, :], axis=2)
+    tab = jnp.concatenate(
+        [pcm_perm, syndrome.T.astype(jnp.int32)[:, :, None]], axis=2
+    )  # [B, rank, n+1]
+
+    def body(row, carry):
+        tab, pivots = carry
+        # leftmost 1 in this row per sample (bp_osd.py:30)
+        idx_p = jnp.argmax(tab[:, row, :], axis=-1)  # [B]
+        pivots = pivots.at[:, row].set(idx_p)
+        # the pivot column across all rows
+        c = jnp.take_along_axis(tab, idx_p[:, None, None], axis=2)[:, :, 0]  # [B, rank]
+        c = c.at[:, row].set(0)  # don't eliminate the pivot row itself
+        current = tab[:, row, :]  # [B, n+1]
+        tab = jnp.bitwise_xor(tab, c[:, :, None] & current[:, None, :])
+        return tab, pivots
+
+    pivots0 = jnp.zeros((bsz, rank), jnp.int32)
+    tab, pivots = jax.lax.fori_loop(0, rank, body, (tab, pivots0))
+
+    sol = tab[:, :, -1]  # [B, rank]
+    e_sorted = jnp.zeros((bsz, n), jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(bsz)[:, None], (bsz, rank))
+    e_sorted = e_sorted.at[rows, pivots].set(sol)
+    return jnp.take_along_axis(e_sorted, inv_sort, axis=1)
+
+
+def bp_osd_correct(graph, bp_result, noise_x, noise_z, pivot_hx, pivot_hz, hx_basis, hz_basis):
+    """Full-batch BP4 + OSD-0 correction step (BP4_OSD_Model semantics,
+    bp_osd.py:104-191), entirely static-shaped.
+
+    Applies OSD to every sample (cheap correctness-wise: OSD of an already
+    satisfied syndrome returns a valid coset representative; the caller
+    selects BP or OSD output per sample via the flagged mask, mirroring the
+    reference's scatter on flagged rows).
+
+    Args:
+      bp_result: BP4Result from a stage_one-style decode.
+      pivot_hx / pivot_hz: row indices of the full-rank bases.
+      hx_basis / hz_basis: [rank, n] full-rank PCMs.
+
+    Returns (x_hat, z_hat) int32 [n, B] with OSD replacing BP output on
+    flagged samples.
+    """
+    hx = jnp.asarray(graph.hx)
+    hz = jnp.asarray(graph.hz)
+
+    # flagged = BP failed to reproduce the syndrome (bp_osd.py:129-133)
+    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), bp_result.x_hat)
+    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), bp_result.z_hat)
+    sx_res = mod2_matmul(hz, x_diff)
+    sz_res = mod2_matmul(hx, z_diff)
+    flagged = jnp.logical_or(
+        jnp.any(sx_res != 0, axis=0), jnp.any(sz_res != 0, axis=0)
+    )  # [B]
+
+    # binary reliabilities from quaternary marginals (bp_osd.py:136-142)
+    osd_llrx, osd_llrz = quaternary_to_binary_llrs(
+        bp_result.llrx, bp_result.llry, bp_result.llrz
+    )
+
+    # pivot-reduced syndromes of the true noise (bp_osd.py:150-154)
+    syndrome_x = mod2_matmul(hx, noise_z.astype(jnp.int32))
+    syndrome_z = mod2_matmul(hz, noise_x.astype(jnp.int32))
+    red_sx = syndrome_x[jnp.asarray(pivot_hx)]
+    red_sz = syndrome_z[jnp.asarray(pivot_hz)]
+
+    z_hat_osd = osd0_decode(osd_llrz.T, jnp.asarray(hx_basis), red_sx).T  # [n, B]
+    x_hat_osd = osd0_decode(osd_llrx.T, jnp.asarray(hz_basis), red_sz).T
+
+    x_hat = jnp.where(flagged[None, :], x_hat_osd, bp_result.x_hat)
+    z_hat = jnp.where(flagged[None, :], z_hat_osd, bp_result.z_hat)
+    return x_hat, z_hat, flagged

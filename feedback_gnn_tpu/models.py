@@ -1,0 +1,209 @@
+"""System models (L4 of SURVEY.md §1): end-to-end Monte-Carlo step functions
+composing channels + decoders + error accounting, mirroring the reference's
+tf.keras.Model classes as pure jittable functions.
+
+All return ``(flagged_count, logical_count)`` int32 scalars (device-side
+accounting; see sim.montecarlo.sim_ler) or full syndome tensors with
+``return_full=True`` where noted.
+
+Reference counterparts:
+  bp2_bsc_eval_step      <- BP_BSC_Model          (feedback_gnn.py:190-229)
+  bp4_plain_eval_step    <- Sandwich model, nG=0  (feedback_gnn.py:232)
+  bp4_osd_eval_step      <- BP4_OSD_Model         (bp_osd.py:80-191)
+  bp2_osd_eval_step      <- BP2_OSD_Model         (bp_osd.py:194-270)
+  sandwich_eval_step     <- Sandwich_BP_GNN_Evaluation_Model (see
+                            decoders/cascade.py)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .channels.bsc import bsc_sample
+from .channels.pauli import depolarizing_probs, pauli_iid
+from .codes.graph import TannerGraph
+from .decoders.bp2 import bp2_decode
+from .decoders.bp4 import bp4_decode
+from .decoders.cascade import prior_llr, sandwich_eval_step  # noqa: F401
+from .decoders.osd import bp_osd_correct, osd0_decode
+from .ops.gf2mat import mod2_matmul
+
+__all__ = [
+    "bp2_bsc_eval_step",
+    "bp4_plain_eval_step",
+    "bp4_osd_eval_step",
+    "bp2_osd_eval_step",
+    "sandwich_eval_step",
+]
+
+
+def _counts(s_hat, ls_hat):
+    flagged = jnp.sum(jnp.any(s_hat != 0, axis=0).astype(jnp.int32))
+    logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
+    return flagged, logical
+
+
+def bp2_bsc_eval_step(
+    pcm_graph: TannerGraph,
+    pcm,
+    logical_pcm,
+    key,
+    p,
+    batch: int,
+    num_iter: int = 100,
+    cn_type: str = "minsum",
+    normalization_factor: float = 0.8,
+    p0=None,
+):
+    """Binary syndrome BP over a BSC with logical-operator check
+    (BP_BSC_Model, feedback_gnn.py:190-229).  ``pcm`` is one of hx/hz (the
+    decoding graph), ``logical_pcm`` the orthogonal complement used for the
+    logical check."""
+    pcm = jnp.asarray(pcm, jnp.float32)
+    logical_pcm = jnp.asarray(logical_pcm, jnp.float32)
+    n = pcm.shape[1]
+
+    noise = bsc_sample(key, p, (n, batch))  # [n, B]
+    p_prior = p if p0 is None else p0
+    llr_const = -jnp.log((1.0 - p_prior) / p_prior)
+    llr = jnp.full((n, batch), llr_const, jnp.float32)
+    syndrome = mod2_matmul(pcm, noise)
+
+    res = bp2_decode(
+        pcm_graph, llr, syndrome, num_iter, cn_type, normalization_factor
+    )
+    noise_hat = res.hard  # [n, B]
+
+    diff = jnp.bitwise_xor(noise.astype(jnp.int32), noise_hat)
+    s_hat = mod2_matmul(pcm, diff)
+    ls_hat = mod2_matmul(logical_pcm, diff)
+    return _counts(s_hat, ls_hat)
+
+
+def bp4_plain_eval_step(
+    graph,
+    key,
+    p,
+    batch: int,
+    num_iter: int = 64,
+    cn_type: str = "boxplus-phi",
+    normalization_factor: float = 1.0,
+    p0=None,
+):
+    """Plain BP4 evaluation over the depolarizing channel (the OSD.ipynb
+    "plain BP4" rows)."""
+    n = graph.n
+    px, py, pz = depolarizing_probs(p)
+    noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+    hx = jnp.asarray(graph.hx)
+    hz = jnp.asarray(graph.hz)
+    syndrome_x = mod2_matmul(hx, noise_z)
+    syndrome_z = mod2_matmul(hz, noise_x)
+    p_prior = p if p0 is None else p0
+    llr0 = jnp.full((3, n, batch), jnp.log(3.0 * (1.0 - p_prior) / p_prior))
+
+    res = bp4_decode(
+        graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type, normalization_factor
+    )
+    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), res.x_hat)
+    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), res.z_hat)
+    s_hat = jnp.concatenate([mod2_matmul(hz, x_diff), mod2_matmul(hx, z_diff)], axis=0)
+    ls_hat = jnp.concatenate(
+        [
+            mod2_matmul(jnp.asarray(graph.hx_perp), x_diff),
+            mod2_matmul(jnp.asarray(graph.hz_perp), z_diff),
+        ],
+        axis=0,
+    )
+    return _counts(s_hat, ls_hat)
+
+
+def bp4_osd_eval_step(
+    graph,
+    code,
+    key,
+    p,
+    batch: int,
+    num_iter: int = 100,
+    cn_type: str = "minsum",
+    normalization_factor: float = 0.8,
+):
+    """BP4 + OSD-0 fallback over the depolarizing channel (BP4_OSD_Model,
+    bp_osd.py:80-191).  Logical check uses lx/lz as the reference does
+    (bp_osd.py:184-187).  Fully static shapes: OSD runs on the whole batch
+    and the flagged mask selects per sample."""
+    n = graph.n
+    px, py, pz = depolarizing_probs(p)
+    noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+    hx = jnp.asarray(graph.hx)
+    hz = jnp.asarray(graph.hz)
+    syndrome_x = mod2_matmul(hx, noise_z)
+    syndrome_z = mod2_matmul(hz, noise_x)
+    llr0 = jnp.full((3, n, batch), jnp.log(3.0 * (1.0 - p) / p))
+
+    res = bp4_decode(
+        graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type, normalization_factor
+    )
+    x_hat, z_hat, flagged = bp_osd_correct(
+        graph,
+        res,
+        noise_x,
+        noise_z,
+        code.pivot_hx,
+        code.pivot_hz,
+        code.hx_basis,
+        code.hz_basis,
+    )
+    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), x_hat)
+    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), z_hat)
+    ls_hat = jnp.concatenate(
+        [
+            mod2_matmul(jnp.asarray(graph.lz), x_diff),
+            mod2_matmul(jnp.asarray(graph.lx), z_diff),
+        ],
+        axis=0,
+    )
+    logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
+    return jnp.sum(flagged.astype(jnp.int32)) * 0, logical  # reference returns zeros for s_hat
+
+
+def bp2_osd_eval_step(
+    pcm_graph: TannerGraph,
+    pcm,
+    pcm_basis,
+    pivot_pcm,
+    logical_pcm,
+    key,
+    p,
+    batch: int,
+    num_iter: int = 100,
+    cn_type: str = "minsum",
+    normalization_factor: float = 0.8,
+):
+    """BP2 + OSD-0 over a BSC (BP2_OSD_Model, bp_osd.py:194-270)."""
+    pcm = jnp.asarray(pcm, jnp.float32)
+    logical_pcm = jnp.asarray(logical_pcm, jnp.float32)
+    n = pcm.shape[1]
+
+    noise = bsc_sample(key, p, (n, batch))
+    llr_const = -jnp.log((1.0 - p) / p)
+    llr = jnp.full((n, batch), llr_const, jnp.float32)
+    syndrome = mod2_matmul(pcm, noise)
+
+    res = bp2_decode(pcm_graph, llr, syndrome, num_iter, cn_type, normalization_factor)
+    noise_hat = res.hard
+
+    diff = jnp.bitwise_xor(noise.astype(jnp.int32), noise_hat)
+    flagged = jnp.any(mod2_matmul(pcm, diff) != 0, axis=0)
+
+    # OSD on the soft output: llr_hat = -logits (bp_osd.py:224-236)
+    osd_llr = -res.logits  # [n, B], "true llr" convention
+    reduced_s = syndrome[jnp.asarray(pivot_pcm)]
+    noise_hat_osd = osd0_decode(osd_llr.T, jnp.asarray(pcm_basis), reduced_s).T
+
+    noise_final = jnp.where(flagged[None, :], noise_hat_osd, noise_hat)
+    diff = jnp.bitwise_xor(noise.astype(jnp.int32), noise_final)
+    ls_hat = mod2_matmul(logical_pcm, diff)
+    logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
+    return jnp.int32(0), logical
