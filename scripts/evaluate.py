@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Logical-error-rate evaluation CLI.
+
+Reproduces the reference entry points n882.py / n1270.py:
+
+    python scripts/evaluate.py -c n882 -p 0.05          # one p point
+    python scripts/evaluate.py -c n1270 -p 0.12 0.10 0.08 -nG 5 -bs 10000
+
+Multi-device: --data-shards / --edge-shards map the run onto a
+('data','edge') mesh (total devices = product).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from feedback_gnn_tpu.config import build_code, config_from_args, make_eval_parser
+from feedback_gnn_tpu.codes.graph import QuantumGraph
+from feedback_gnn_tpu.decoders import sandwich_eval_step
+from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
+from feedback_gnn_tpu.sim import PlotLER
+
+
+def main():
+    cfg = config_from_args(make_eval_parser().parse_args())
+    print(f"building code {cfg.code} ...")
+    code = build_code(cfg.code)
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = load_reference_weights(cfg.resolve_weights())
+    print(f"{code}: cascade {cfg.cascade}")
+
+    if cfg.data_shards * cfg.edge_shards > 1:
+        from feedback_gnn_tpu.parallel import (
+            make_mesh,
+            make_sharded_eval_step,
+            shard_quantum_graph,
+        )
+
+        mesh = make_mesh(data=cfg.data_shards, edge=cfg.edge_shards)
+        stacked = shard_quantum_graph(graph, cfg.edge_shards)
+        assert cfg.batch_size % cfg.data_shards == 0
+        step = make_sharded_eval_step(
+            mesh, stacked, [params], cfg.cascade, cfg.batch_size // cfg.data_shards
+        )
+    else:
+
+        @jax.jit
+        def step(key, p):
+            return sandwich_eval_step(
+                graph, [params], cfg.cascade, key, p, cfg.batch_size
+            )
+
+    plot = PlotLER(title=f"{code.name} feedback-GNN cascade")
+    result = plot.simulate(
+        step,
+        cfg.ps,
+        batch_size=cfg.batch_size,
+        max_mc_iter=cfg.max_mc_iter,
+        num_target_block_errors=cfg.num_target_block_errors,
+        legend=f"nG={cfg.cascade.num_rounds} f={cfg.cascade.factor1}",
+        seed=cfg.seed,
+        checkpoint_path=cfg.checkpoint,
+    )
+    print()
+    print(result.summary())
+
+
+if __name__ == "__main__":
+    main()

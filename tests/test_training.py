@@ -1,0 +1,88 @@
+"""Training pipeline tests: loss parity slices, trainability, miner."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from feedback_gnn_tpu.codes import create_generalized_bicycle_codes
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.decoders import init_feedback_gnn
+
+    code = create_generalized_bicycle_codes(24, [0, 2, 8, 15], [0, 2, 12, 17])
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(0))
+    return code, graph, params
+
+
+def test_train_step_reduces_loss(setup):
+    """A few Adam steps on a fixed batch must reduce the deep-supervision
+    loss."""
+    from feedback_gnn_tpu.train import TrainConfig, make_optimizer, make_train_step
+
+    code, graph, params = setup
+    tcfg = TrainConfig(num_iter1=16, num_iter2=8, loss_from=4, learning_rate=1e-3)
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(params)
+    step = make_train_step(graph, tcfg, opt)
+
+    n, b = graph.n, 64
+    key = jax.random.PRNGKey(2)
+    nx = jax.random.bernoulli(key, 0.08, (n, b)).astype(jnp.float32)
+    nz = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.08, (n, b)).astype(
+        jnp.float32
+    )
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def test_bp_failure_miner(setup):
+    """Miner returns fixed-weight noise; flagged fraction is sane and all
+    flagged samples really fail BP."""
+    from feedback_gnn_tpu.train import make_bp_failure_miner, mine_failures
+
+    code, graph, params = setup
+    miner = make_bp_failure_miner(graph, num_iter=12)
+    key = jax.random.PRNGKey(3)
+    noise_x, noise_z, flagged = miner(key, 6, 128)
+    support = np.asarray(noise_x) | np.asarray(noise_z)
+    assert (support.sum(axis=0) == 6).all()
+    assert 0 < int(flagged.sum()) < 128  # weight-6 errors: some fail, some don't
+
+    shards = mine_failures(miner, key, weights=[4, 6], batches_per_weight=2, batch_size=64)
+    for wt, (x, z) in shards.items():
+        assert x.shape == z.shape and x.shape[1] == graph.n
+        assert ((x | z).sum(axis=1) == wt).all()
+
+
+def test_cascade_failure_miner(setup):
+    from feedback_gnn_tpu.train import make_cascade_failure_miner
+
+    code, graph, params = setup
+    miner = make_cascade_failure_miner(graph, params, num_iter1=8, num_iter2=8)
+    noise_x, noise_z, flagged = miner(jax.random.PRNGKey(4), 8, 64)
+    assert noise_x.shape == (graph.n, 64)
+    assert 0 <= int(flagged.sum()) <= 64
+
+
+def test_mix_and_iterate(setup):
+    from feedback_gnn_tpu.train import batch_iterator, mix_easy_hard
+
+    rng = np.random.default_rng(0)
+    easy = (rng.integers(0, 2, (40, 10)), rng.integers(0, 2, (40, 10)))
+    hard = (rng.integers(0, 2, (3, 10)), rng.integers(0, 2, (3, 10)))
+    x, z = mix_easy_hard(easy, hard, hard_oversample=5)
+    assert x.shape[0] == 40 + 15
+
+    batches = list(batch_iterator(x, z, 8, jax.random.PRNGKey(0)))
+    assert len(batches) == (40 + 15) // 8
+    bx, bz = batches[0]
+    assert bx.shape == (10, 8)  # [n, B] device layout
