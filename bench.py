@@ -41,6 +41,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn, sandwich_eval_step
     from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
 
@@ -68,14 +72,16 @@ def main():
     # warmup / compile
     t0 = time.perf_counter()
     out = step(key, jnp.float32(p))
-    jax.block_until_ready(out)
+    _ = (int(out[0]), int(out[1]))
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-batch: {compile_s:.1f}s  device={jax.devices()[0]}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(n_timed):
         out = step(jax.random.fold_in(key, i + 1), jnp.float32(p))
-    jax.block_until_ready(out)
+    # force value materialisation: on remote-dispatch backends
+    # block_until_ready alone does not synchronise execution
+    _ = (int(out[0]), int(out[1]))
     dt = time.perf_counter() - t0
 
     syndromes_per_s = batch * n_timed / dt

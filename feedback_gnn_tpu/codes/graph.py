@@ -1,165 +1,214 @@
-"""Device-facing Tanner-graph layout (static, dense, padded).
+"""Device-facing Tanner-graph layout (static, dense, tile-aligned).
 
 This replaces the reference's TF ragged-tensor machinery
-(/root/reference/sionna/fec/ldpc/decoding_q.py:59-94, 707-711) with fixed
-shape gather tables that XLA can tile onto the TPU:
+(/root/reference/sionna/fec/ldpc/decoding_q.py:59-94, 707-711) with a layout
+engineered for the TPU's (8 sublane x 128 lane) tiling:
 
-* edges are stored **VN-major** (sorted by (vn, cn)); per-edge message arrays
-  have shape ``[num_edges(+1), batch]`` with batch in the lane dimension and
-  one trailing **padding row** that always holds 0, so padded gathers are
-  branch-free;
-* ``vn_edge``  : ``[num_vn, max_vn_deg]``  edge ids per VN (pad -> num_edges)
-* ``cn_edge``  : ``[num_cn, max_cn_deg]``  edge ids per CN (pad -> num_edges)
-* ``edge_vn``  : ``[num_edges]``           VN id of each edge
-* ``edge_cn_slot``: ``[num_edges]`` flat index ``cn * max_cn_deg + slot`` so
-  the CN->VN inverse permutation is a single flat gather (no scatter).
+* per-edge message state lives in **slot-major** 3-D arrays
+  ``[max_deg, node_pad, B]`` — degree slots in the leading axis, nodes padded
+  to a multiple of 8 in the sublane axis, Monte-Carlo batch in lanes;
+* per-node reductions are sums over the leading axis (free — no reshapes);
+* the VN<->CN edge permutation is ONE flat row gather in each direction,
+  made relayout-free by the alignment: ``[d, node_pad, B] -> [d*node_pad, B]``
+  merges are bitcasts when ``node_pad % 8 == 0``;
+* ``node_pad >= nodes + 1`` always, so a guaranteed-zero pad row exists for
+  branch-free padded gathers (no appended rows, no dynamic masks on the hot
+  path).
 
-For the paper's (3,6)-biregular GHP codes every table is padding-free and the
-VN-side gathers degenerate to reshapes.
+Zero-invariants relied on by the decoders (bp2/bp4/graph_ops):
+  I1. channel-LLR pad rows are zero -> VN-phase messages at pad VNs are zero;
+  I2. CN updates multiply their output by ``cn_mask`` -> pad CN slots are
+      zero;
+  I3. ``vn_gather`` pad entries point at a pad CN slot (zero by I2), and
+      ``cn_gather`` pad entries point at a pad VN slot (zero by I1) — so
+      unmasked per-node sums are exact.
 
-RowSet is the same idea for boxplus-over-PCM-rows (the per-row check logits of
-decoding_q.py:433-471): padded ``[num_rows, max_row_deg]`` VN-id tables.
+For the paper's (3,6)-biregular GHP codes the only padding is the +8 pad
+rows (<1 % memory).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["TannerGraph", "RowSet", "build_graph", "build_rowset", "QuantumGraph"]
+__all__ = ["TannerGraph", "RowSet", "build_graph", "build_rowset", "QuantumGraph", "pad_rows"]
+
+
+def _aligned(count: int) -> int:
+    """Smallest multiple of 8 that is >= count + 1 (always >= 1 pad row)."""
+    return ((count + 1 + 7) // 8) * 8
+
+
+def pad_rows(mat: np.ndarray, rows: int, cols: int | None = None) -> np.ndarray:
+    """Zero-pad a host matrix to [rows, cols]."""
+    m, n = mat.shape
+    out = np.zeros((rows, cols if cols is not None else n), mat.dtype)
+    out[:m, :n] = mat
+    return out
 
 
 @dataclass(frozen=True)
 class TannerGraph:
-    """Static gather tables for one parity-check matrix."""
+    """Static aligned gather tables for one parity-check matrix."""
 
     num_vn: int
     num_cn: int
+    n_pad: int  # aligned VN count (multiple of 8, > num_vn)
+    c_pad: int  # aligned CN count
     num_edges: int
-    max_vn_deg: int
-    max_cn_deg: int
-    # [num_edges] int32: endpoint ids in VN-major edge order
+    max_vn_deg: int  # dv: VN slot count
+    max_cn_deg: int  # dc: CN slot count
+    # [dc * c_pad] int32: flat vn-slot index (into dv*n_pad) per cn slot;
+    # pad entries point at a pad VN row (zero by invariant I1)
+    cn_gather: np.ndarray
+    # [dv * n_pad] int32: flat cn-slot index (into dc*c_pad) per vn slot;
+    # pad entries point at a pad CN slot (zero by invariant I2)
+    vn_gather: np.ndarray
+    # [dv, n_pad] / [dc, c_pad] float32 {0,1} validity masks
+    vn_mask: np.ndarray
+    cn_mask: np.ndarray
+    # true degrees, [n_pad] / [c_pad] float32 (pad rows: 0)
+    vn_deg: np.ndarray
+    cn_deg: np.ndarray
+    # [dv, n_pad] int32: CN id per vn slot (pads -> num_cn) — GNN h_cn gather
+    edge_cn_byslot: np.ndarray
+    # [dc, c_pad] int32: VN id per cn slot (pads -> num_vn) — GNN h_vn gather
+    edge_vn_byslot: np.ndarray
+    # debug / host-side views (true edges, VN-major (vn, cn) sorted)
     edge_vn: np.ndarray
     edge_cn: np.ndarray
-    # [num_vn, max_vn_deg] int32 edge ids, padded with num_edges
-    vn_edge: np.ndarray
-    # [num_vn, max_vn_deg] float32 {0,1}
-    vn_mask: np.ndarray
-    # [num_vn] float32 true degrees (for mean reductions)
-    vn_deg: np.ndarray
-    # [num_cn, max_cn_deg] int32 edge ids, padded with num_edges
-    cn_edge: np.ndarray
-    cn_mask: np.ndarray
-    cn_deg: np.ndarray
-    # [num_edges] int32 flat index cn*max_cn_deg+slot (inverse of cn_edge)
-    edge_cn_slot: np.ndarray
-    # True when every VN (resp. CN) has the same degree -> gathers are reshapes
-    vn_uniform: bool
-    cn_uniform: bool
 
     def __repr__(self):
         return (
-            f"TannerGraph(vn={self.num_vn}, cn={self.num_cn}, edges={self.num_edges}, "
-            f"deg=({self.max_vn_deg},{self.max_cn_deg}), "
-            f"uniform=({self.vn_uniform},{self.cn_uniform}))"
+            f"TannerGraph(vn={self.num_vn}/{self.n_pad}, cn={self.num_cn}/{self.c_pad}, "
+            f"edges={self.num_edges}, deg=({self.max_vn_deg},{self.max_cn_deg}))"
         )
 
 
 @dataclass(frozen=True)
 class RowSet:
-    """Padded per-row VN-id tables for boxplus over the rows of a PCM."""
+    """Aligned slot-major per-row VN-id tables for boxplus over PCM rows."""
 
     num_rows: int
+    r_pad: int
     max_deg: int
-    # [num_rows, max_deg] int32 VN ids, padded with num_vn (callers append a
-    # zero row to the gathered source)
+    # [max_deg, r_pad] int32 VN ids (pads -> a pad VN row of the source)
     vn_idx: np.ndarray
-    # [num_rows, max_deg] float32 {0,1}
+    # [max_deg, r_pad] float32 {0,1}
     mask: np.ndarray
-    uniform: bool
-    # [num_rows] float32 {0,1}: 0 marks phantom rows introduced by edge
-    # sharding (parallel/shard.py); all-ones for unsharded graphs
-    row_valid: np.ndarray = None
+    # [r_pad] float32 {0,1}: 0 marks pad rows (and edge-sharding phantoms)
+    row_valid: np.ndarray
+    # sentinel used in vn_idx pads (the source's pad row); callers gather
+    # from arrays of at least this many rows
+    vn_sentinel: int
 
 
 def build_graph(pcm: np.ndarray) -> TannerGraph:
-    """Build the dense device layout from a 0/1 parity-check matrix."""
+    """Build the aligned device layout from a 0/1 parity-check matrix."""
     pcm = np.asarray(pcm)
     num_cn, num_vn = pcm.shape
     cn_ids, vn_ids = np.nonzero(pcm)
-    # canonical VN-major ordering: sort by (vn, cn)
-    order = np.lexsort((cn_ids, vn_ids))
+    order = np.lexsort((cn_ids, vn_ids))  # VN-major canonical order
     edge_vn = vn_ids[order].astype(np.int32)
     edge_cn = cn_ids[order].astype(np.int32)
     num_edges = edge_vn.shape[0]
 
     vn_deg = np.bincount(edge_vn, minlength=num_vn)
     cn_deg = np.bincount(edge_cn, minlength=num_cn)
-    max_vn_deg = int(vn_deg.max()) if num_edges else 0
-    max_cn_deg = int(cn_deg.max()) if num_edges else 0
+    dv = int(vn_deg.max()) if num_edges else 1
+    dc = int(cn_deg.max()) if num_edges else 1
+    n_pad = _aligned(num_vn)
+    c_pad = _aligned(num_cn)
 
-    # VN tables: edges are VN-major so vn_edge rows are contiguous ranges
-    vn_edge = np.full((num_vn, max_vn_deg), num_edges, dtype=np.int32)
-    vn_mask = np.zeros((num_vn, max_vn_deg), dtype=np.float32)
-    starts = np.concatenate([[0], np.cumsum(vn_deg)])
-    for v in range(num_vn):
-        d = vn_deg[v]
-        vn_edge[v, :d] = np.arange(starts[v], starts[v] + d, dtype=np.int32)
-        vn_mask[v, :d] = 1.0
-
-    # CN tables
-    cn_edge = np.full((num_cn, max_cn_deg), num_edges, dtype=np.int32)
-    cn_mask = np.zeros((num_cn, max_cn_deg), dtype=np.float32)
-    slot_of_edge = np.zeros(num_edges, dtype=np.int32)
-    fill = np.zeros(num_cn, dtype=np.int32)
+    # slot assignment: edge e is slot s_v at its VN (s_v = rank among the
+    # VN's edges in CN order) and slot s_c at its CN (rank in VN order)
+    vn_slot = np.zeros(num_edges, np.int32)
+    fill = np.zeros(num_vn, np.int32)
+    for e in range(num_edges):
+        v = edge_vn[e]
+        vn_slot[e] = fill[v]
+        fill[v] += 1
+    cn_slot = np.zeros(num_edges, np.int32)
+    fill = np.zeros(num_cn, np.int32)
+    # CN slots in VN-major order -> per-CN edges sorted by VN
     for e in range(num_edges):
         c = edge_cn[e]
-        s = fill[c]
-        cn_edge[c, s] = e
-        cn_mask[c, s] = 1.0
-        slot_of_edge[e] = c * max_cn_deg + s
-        fill[c] = s + 1
+        cn_slot[e] = fill[c]
+        fill[c] += 1
+
+    # pad targets (invariants I1-I3)
+    pad_vn_flat = 0 * n_pad + num_vn  # slot 0 of the first pad VN row
+    pad_cn_flat = 0 * c_pad + num_cn  # slot 0 of the first pad CN row
+
+    cn_gather = np.full(dc * c_pad, pad_vn_flat, np.int32)
+    vn_gather = np.full(dv * n_pad, pad_cn_flat, np.int32)
+    vn_mask = np.zeros((dv, n_pad), np.float32)
+    cn_mask = np.zeros((dc, c_pad), np.float32)
+    edge_cn_byslot = np.full((dv, n_pad), num_cn, np.int32)
+    edge_vn_byslot = np.full((dc, c_pad), num_vn, np.int32)
+
+    vflat = vn_slot * n_pad + edge_vn
+    cflat = cn_slot * c_pad + edge_cn
+    cn_gather[cflat] = vflat
+    vn_gather[vflat] = cflat
+    vn_mask[vn_slot, edge_vn] = 1.0
+    cn_mask[cn_slot, edge_cn] = 1.0
+    edge_cn_byslot[vn_slot, edge_vn] = edge_cn
+    edge_vn_byslot[cn_slot, edge_cn] = edge_vn
 
     return TannerGraph(
         num_vn=num_vn,
         num_cn=num_cn,
+        n_pad=n_pad,
+        c_pad=c_pad,
         num_edges=num_edges,
-        max_vn_deg=max_vn_deg,
-        max_cn_deg=max_cn_deg,
+        max_vn_deg=dv,
+        max_cn_deg=dc,
+        cn_gather=cn_gather,
+        vn_gather=vn_gather,
+        vn_mask=vn_mask,
+        cn_mask=cn_mask,
+        vn_deg=np.pad(vn_deg.astype(np.float32), (0, n_pad - num_vn)),
+        cn_deg=np.pad(cn_deg.astype(np.float32), (0, c_pad - num_cn)),
+        edge_cn_byslot=edge_cn_byslot,
+        edge_vn_byslot=edge_vn_byslot,
         edge_vn=edge_vn,
         edge_cn=edge_cn,
-        vn_edge=vn_edge,
-        vn_mask=vn_mask,
-        vn_deg=vn_deg.astype(np.float32),
-        cn_edge=cn_edge,
-        cn_mask=cn_mask,
-        cn_deg=cn_deg.astype(np.float32),
-        edge_cn_slot=slot_of_edge,
-        vn_uniform=bool((vn_deg == max_vn_deg).all()),
-        cn_uniform=bool((cn_deg == max_cn_deg).all()),
     )
 
 
-def build_rowset(pcm: np.ndarray) -> RowSet:
-    """Padded per-row VN-id table for a PCM (rows may have differing weight)."""
+def build_rowset(pcm: np.ndarray, vn_sentinel: int | None = None) -> RowSet:
+    """Aligned slot-major per-row VN-id table for a PCM.
+
+    ``vn_sentinel`` defaults to the aligned pad row of the PCM's column
+    space (callers gather from [n_pad, B] sources whose pad rows are zero).
+    """
     pcm = np.asarray(pcm)
     num_rows, num_vn = pcm.shape
+    if vn_sentinel is None:
+        vn_sentinel = num_vn  # first pad row of an [n_pad, B] source
     deg = pcm.sum(axis=1).astype(np.int64)
-    max_deg = int(deg.max()) if num_rows else 0
-    vn_idx = np.full((num_rows, max_deg), num_vn, dtype=np.int32)
-    mask = np.zeros((num_rows, max_deg), dtype=np.float32)
+    max_deg = int(deg.max()) if num_rows else 1
+    r_pad = _aligned(num_rows)
+
+    vn_idx = np.full((max_deg, r_pad), vn_sentinel, np.int32)
+    mask = np.zeros((max_deg, r_pad), np.float32)
+    row_valid = np.zeros(r_pad, np.float32)
+    row_valid[:num_rows] = 1.0
     for r in range(num_rows):
         cols = np.nonzero(pcm[r])[0]
-        vn_idx[r, : len(cols)] = cols
-        mask[r, : len(cols)] = 1.0
+        vn_idx[: len(cols), r] = cols
+        mask[: len(cols), r] = 1.0
     return RowSet(
         num_rows=num_rows,
+        r_pad=r_pad,
         max_deg=max_deg,
         vn_idx=vn_idx,
         mask=mask,
-        uniform=bool((deg == max_deg).all()),
-        row_valid=np.ones((num_rows,), dtype=np.float32),
+        row_valid=row_valid,
+        vn_sentinel=vn_sentinel,
     )
 
 
@@ -167,45 +216,66 @@ def build_rowset(pcm: np.ndarray) -> RowSet:
 class QuantumGraph:
     """Everything the BP4 decoder + cascade need for one CSS code, in device
     layout.  ``logit_rows_*`` follow the reference's stage-mode convention
-    (decoding_q.py:33-37): in stage mode the per-row logits cover only the
-    check rows (pcm_x_perp := hz, pcm_z_perp := hx); otherwise the full
-    orthogonal complements.
+    (decoding_q.py:33-37).
+
+    Dense matrices are stored PADDED: hx/hz are [c_pad, n_pad] (rows/cols
+    beyond the true shape are zero), hx_perp etc. are [r_pad, n_pad] — so
+    syndrome and accounting matmuls operate directly on padded device
+    tensors.  True shapes are (gx.num_cn, n) etc.
     """
 
     n: int
     k: int
     gx: TannerGraph  # graph of hx
     gz: TannerGraph  # graph of hz
-    hx: np.ndarray  # [mx, n] float32 (dense, for syndrome matmuls)
-    hz: np.ndarray
-    hx_perp: np.ndarray
+    hx: np.ndarray  # [gx.c_pad, n_pad] float32
+    hz: np.ndarray  # [gz.c_pad, n_pad]
+    hx_perp: np.ndarray  # [r_pad, n_pad]
     hz_perp: np.ndarray
     lx: np.ndarray
     lz: np.ndarray
+    # true row counts of the perp/logical matrices (before padding)
+    hx_perp_rows: int
+    hz_perp_rows: int
+    lx_rows: int
+    lz_rows: int
     # boxplus row tables for check-satisfaction logits
     logit_rows_x: RowSet  # rows of pcm_x_perp (gathers llr_x)
     logit_rows_z: RowSet  # rows of pcm_z_perp (gathers llr_z)
     name: str = ""
-
-    # hx/hz row counts can differ from gx/gz.num_cn under edge sharding
-    # (phantom padding); static bool marks sharded instances
     is_shard: bool = False
+
+    @property
+    def n_pad(self):
+        return self.gx.n_pad
 
     @staticmethod
     def from_code(code, stage_mode: bool = True) -> "QuantumGraph":
         pcm_x_perp = code.hz if stage_mode else code.hx_perp
         pcm_z_perp = code.hx if stage_mode else code.hz_perp
+        gx = build_graph(code.hx)
+        gz = build_graph(code.hz)
+        n_pad = gx.n_pad
+
+        def padm(m):
+            m = np.asarray(m, np.float32)
+            return pad_rows(m, _aligned(m.shape[0]), n_pad)
+
         return QuantumGraph(
             n=int(code.N),
             k=int(code.K),
-            gx=build_graph(code.hx),
-            gz=build_graph(code.hz),
-            hx=np.asarray(code.hx, np.float32),
-            hz=np.asarray(code.hz, np.float32),
-            hx_perp=np.asarray(code.hx_perp, np.float32),
-            hz_perp=np.asarray(code.hz_perp, np.float32),
-            lx=np.asarray(code.lx, np.float32),
-            lz=np.asarray(code.lz, np.float32),
+            gx=gx,
+            gz=gz,
+            hx=pad_rows(np.asarray(code.hx, np.float32), gx.c_pad, n_pad),
+            hz=pad_rows(np.asarray(code.hz, np.float32), gz.c_pad, n_pad),
+            hx_perp=padm(code.hx_perp),
+            hz_perp=padm(code.hz_perp),
+            lx=padm(code.lx),
+            lz=padm(code.lz),
+            hx_perp_rows=int(np.asarray(code.hx_perp).shape[0]),
+            hz_perp_rows=int(np.asarray(code.hz_perp).shape[0]),
+            lx_rows=int(np.asarray(code.lx).shape[0]),
+            lz_rows=int(np.asarray(code.lz).shape[0]),
             logit_rows_x=build_rowset(pcm_x_perp),
             logit_rows_z=build_rowset(pcm_z_perp),
             name=getattr(code, "name", ""),
@@ -214,24 +284,33 @@ class QuantumGraph:
 
 # ---------------------------------------------------------------------------
 # Pytree registration: array fields are leaves, static metadata is aux data.
-# This lets sharded graph bundles (leading shard axis on every leaf) flow
-# through shard_map as ordinary arguments (parallel/shard.py).
+# Sharded graph bundles (leading shard axis on every leaf) then flow through
+# shard_map as ordinary arguments (parallel/shard.py).
 # ---------------------------------------------------------------------------
 
 import jax.tree_util as _jtu  # noqa: E402
 
 _TG_LEAVES = (
+    "cn_gather",
+    "vn_gather",
+    "vn_mask",
+    "cn_mask",
+    "vn_deg",
+    "cn_deg",
+    "edge_cn_byslot",
+    "edge_vn_byslot",
     "edge_vn",
     "edge_cn",
-    "vn_edge",
-    "vn_mask",
-    "vn_deg",
-    "cn_edge",
-    "cn_mask",
-    "cn_deg",
-    "edge_cn_slot",
 )
-_TG_AUX = ("num_vn", "num_cn", "num_edges", "max_vn_deg", "max_cn_deg", "vn_uniform", "cn_uniform")
+_TG_AUX = (
+    "num_vn",
+    "num_cn",
+    "n_pad",
+    "c_pad",
+    "num_edges",
+    "max_vn_deg",
+    "max_cn_deg",
+)
 
 
 def _tg_flatten(g):
@@ -245,7 +324,7 @@ def _tg_unflatten(aux, leaves):
 _jtu.register_pytree_node(TannerGraph, _tg_flatten, _tg_unflatten)
 
 _RS_LEAVES = ("vn_idx", "mask", "row_valid")
-_RS_AUX = ("num_rows", "max_deg", "uniform")
+_RS_AUX = ("num_rows", "r_pad", "max_deg", "vn_sentinel")
 
 
 def _rs_flatten(r):
@@ -270,7 +349,16 @@ _QG_LEAVES = (
     "logit_rows_x",
     "logit_rows_z",
 )
-_QG_AUX = ("n", "k", "name", "is_shard")
+_QG_AUX = (
+    "n",
+    "k",
+    "hx_perp_rows",
+    "hz_perp_rows",
+    "lx_rows",
+    "lz_rows",
+    "name",
+    "is_shard",
+)
 
 
 def _qg_flatten(g):

@@ -1,4 +1,4 @@
-"""Binary syndrome belief propagation, TPU-native.
+"""Binary syndrome belief propagation, TPU-native (aligned layout).
 
 Functional re-design of the reference ``LDPCBPDecoder`` in syndrome mode
 (/root/reference/sionna/fec/ldpc/decoding.py:15-1048):
@@ -11,9 +11,9 @@ Functional re-design of the reference ``LDPCBPDecoder`` in syndrome mode
 * output is the marginal logit (negated back, decoding.py:1031), optionally
   hard-decided via ``0 < logit`` (decoding.py:1034).
 
-The iteration is a ``lax.scan`` over ``[num_edges, B]`` messages (the
-reference uses a tf.while_loop over ragged tensors).  Batch-last layout;
-``axis_name`` enables CN/edge-partitioned execution under shard_map.
+Messages are slot-major aligned ``[dv, n_pad, B]`` (codes/graph.py); the
+iteration is a ``lax.scan``.  Outputs keep the padded [n_pad, B] shape
+(zero/0-logit pad rows); slice [:n] for true shapes.
 """
 
 from __future__ import annotations
@@ -25,14 +25,23 @@ import jax.numpy as jnp
 
 from ..codes.graph import TannerGraph
 from .cn_update import CN_UPDATES, LLR_MAX
-from .graph_ops import expand_vn, gather_to_cn, pvary, scatter_from_cn, vn_sum
+from .graph_ops import expand_vn, gather_to_cn, scatter_from_cn, vn_sum
 
 __all__ = ["BP2Result", "bp2_decode"]
 
 
 class BP2Result(NamedTuple):
-    logits: jnp.ndarray  # [n, B] marginal logits (same convention as input)
-    hard: jnp.ndarray  # [n, B] int32 hard decisions
+    logits: jnp.ndarray  # [n_pad, B] marginal logits (pad rows 0)
+    hard: jnp.ndarray  # [n_pad, B] int32 hard decisions (pad rows 0)
+
+
+def _pad_rows_to(x, rows):
+    cur = x.shape[-2]
+    if cur == rows:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, rows - cur)
+    return jnp.pad(x, pad)
 
 
 def bp2_decode(
@@ -47,29 +56,28 @@ def bp2_decode(
     """Run ``num_iter`` binary syndrome-BP iterations.
 
     Args:
-      llr_ch: [n, B] channel logits (positive = bit 1 likely).
-      syndrome: [num_cn, B] in {0, 1}.
+      llr_ch: [n(,pad), B] channel logits (positive = bit 1 likely).
+      syndrome: [num_cn(,pad), B] in {0, 1}.
     """
     cn_update = CN_UPDATES[cn_type]
     b = llr_ch.shape[-1]
 
     llr = jnp.clip(llr_ch.astype(jnp.float32), -LLR_MAX, LLR_MAX)
-    llr = -llr  # logits -> "true" llrs (decoding.py:940)
-    syn_pm = (1.0 - 2.0 * syndrome).astype(jnp.float32)
+    llr = -_pad_rows_to(llr, graph.n_pad)  # logits -> "true" llrs (decoding.py:940)
+    syn_pm = 1.0 - 2.0 * _pad_rows_to(syndrome.astype(jnp.float32), graph.c_pad)
     cn_mask = jnp.asarray(graph.cn_mask)
 
     def step(msg, _):
         # extrinsic VN update
-        total = vn_sum(msg, graph, axis_name) + llr  # [n, B]
-        msg_v = expand_vn(total, graph) - msg  # [E, B]
+        total = vn_sum(msg, graph, axis_name) + llr  # [n_pad, B]
+        msg_v = expand_vn(total, graph) - msg  # [dv, n_pad, B]
         # CN update with syndrome sign
         mc = gather_to_cn(msg_v, graph)
         mc = cn_update(mc, syn_pm, cn_mask) * normalization_factor
         return scatter_from_cn(mc, graph), None
 
-    # carry the joined varying-manual-axes of the inputs (see bp4.py)
     vma_seed = 0.0 * (jnp.sum(llr) + jnp.sum(syn_pm))
-    msg0 = jnp.zeros((graph.num_edges, b), jnp.float32) + vma_seed
+    msg0 = jnp.zeros((graph.max_vn_deg, graph.n_pad, b), jnp.float32) + vma_seed
     msg, _ = jax.lax.scan(step, msg0, None, length=num_iter)
 
     marg = llr + vn_sum(msg, graph, axis_name)

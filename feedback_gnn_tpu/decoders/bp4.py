@@ -13,12 +13,18 @@ Functional re-design of the reference ``QLDPCBPDecoder``
   (decoding_q.py:433-471, 743-746);
 * hard decision argmin over (I, X, Z, Y) marginals (decoding_q.py:786-790).
 
-Instead of a Python-unrolled loop over ragged tensors, the iteration is a
-single ``lax.scan`` over fixed-shape ``[num_edges, B]`` messages, so XLA
-compiles one iteration body regardless of ``num_iter``.  All tensors are
-batch-last.  Under ``shard_map`` the per-VN reductions psum over
-``axis_name`` which makes the same code run CN/edge-partitioned across a
-mesh axis.
+The iteration is a single ``lax.scan`` over aligned slot-major messages
+``[max_deg, n_pad, B]`` (see codes/graph.py): per-node reductions are
+leading-axis sums and the VN<->CN permutation is one relayout-free flat
+gather each way — XLA compiles the loop body without a single layout copy.
+
+PADDED CONVENTION: all returned tensors keep the aligned padded shapes
+([n_pad, B] marginals / hard decisions with zero pad rows, [r_pad, B]
+logits).  Slice ``[:graph.n]`` / ``[:rowset.num_rows]`` for true shapes.
+Inputs may be padded or true-shaped; they are padded on entry.
+
+``axis_name`` makes the same code run CN/edge-partitioned across a mesh
+axis under shard_map (per-VN sums psum).
 """
 
 from __future__ import annotations
@@ -30,35 +36,45 @@ import jax.numpy as jnp
 
 from ..codes.graph import QuantumGraph
 from .cn_update import CN_UPDATES, boxplus_rows
-from .graph_ops import expand_vn, gather_to_cn, pvary, scatter_from_cn, vn_sum
+from .graph_ops import expand_vn, gather_to_cn, scatter_from_cn, vn_sum
 
 __all__ = ["BP4Result", "bp4_decode", "quaternary_to_binary_llrs", "hard_decision"]
 
 
 class BP4Result(NamedTuple):
-    llrx: jnp.ndarray  # [n, B] marginal LLR of an X flip (vs I)
+    llrx: jnp.ndarray  # [n_pad, B] marginal LLR of an X flip (pad rows 0)
     llry: jnp.ndarray
     llrz: jnp.ndarray
-    x_hat: jnp.ndarray  # [n, B] int32 hard decision, X component
+    x_hat: jnp.ndarray  # [n_pad, B] int32 hard decision (pad rows 0)
     z_hat: jnp.ndarray
-    x_logit: jnp.ndarray  # [Rx, B] final check logits over pcm_x_perp rows
+    x_logit: jnp.ndarray  # [r_pad, B] check logits over pcm_x_perp rows
     z_logit: jnp.ndarray
-    logit_stack: jnp.ndarray | None  # [num_iter+1, Rx+Rz?, ...] see below
+    logit_stack: tuple | None  # (xs, zs) [num_iter+1, r_pad, B] each
 
 
 def _logsumexp2(a, b):
     """logsumexp over two tensors, matching tf.reduce_logsumexp on a stacked
     last axis (decoding_q.py:266)."""
     mx = jnp.maximum(a, b)
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # guard -inf pairs
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     return mx + jnp.log(jnp.exp(a - mx) + jnp.exp(b - mx))
+
+
+def _pad_rows_to(x, rows):
+    """Pad axis -2 with zeros up to ``rows`` (no-op if already padded)."""
+    cur = x.shape[-2]
+    if cur == rows:
+        return x
+    assert cur < rows, (cur, rows)
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, rows - cur)
+    return jnp.pad(x, pad)
 
 
 def _vn_update(msg_x, msg_z, llr_ch, graph: QuantumGraph, axis_name=None):
     """Coupled VN update (decoding_q.py:227-275).
 
-    Returns (new_msg_x, new_msg_z, llrx, llry, llrz) where the llr* are the
-    full per-VN marginals [n, B].
+    Returns (new_msg_x, new_msg_z, llrx, llry, llrz); llr* are [n_pad, B].
     """
     llrx_ch, llry_ch, llrz_ch = llr_ch[0], llr_ch[1], llr_ch[2]
 
@@ -71,7 +87,7 @@ def _vn_update(msg_x, msg_z, llr_ch, graph: QuantumGraph, axis_name=None):
     # extrinsic per-edge messages, Hx side (msg about Z / Y components)
     llrz_hx = expand_vn(llrz, graph.gx) - msg_x
     llry_hx = expand_vn(llry, graph.gx) - msg_x
-    num_hx = jax.nn.softplus(-llrx)  # [n, B]
+    num_hx = jax.nn.softplus(-llrx)  # [n_pad, B]
     new_msg_x = expand_vn(num_hx, graph.gx) - _logsumexp2(-llrz_hx, -llry_hx)
 
     # Hz side
@@ -85,29 +101,28 @@ def _vn_update(msg_x, msg_z, llr_ch, graph: QuantumGraph, axis_name=None):
 
 def quaternary_to_binary_llrs(llrx, llry, llrz):
     """Binary LLRs from quaternary marginals (decoding_q.py:455-464):
-    llr_z = log((pI+pX)/(pZ+pY)), llr_x = log((pI+pZ)/(pX+pY))."""
+    llr_z = log((pI+pX)/(pZ+pY)), llr_x = log((pI+pZ)/(pX+pY)).
+
+    NOTE: zero pad rows map to llr = log2 - log2 = 0, preserving the
+    zero-pad invariant."""
     llr_z = jax.nn.softplus(-llrx) - _logsumexp2(-llrz, -llry)
     llr_x = jax.nn.softplus(-llrz) - _logsumexp2(-llrx, -llry)
     return llr_x, llr_z
-
-
-def _pad_vn(vals):
-    """[n, B] -> [n+1, B] with zero row for RowSet padding."""
-    return jnp.concatenate([vals, jnp.zeros((1, vals.shape[1]), vals.dtype)], axis=0)
 
 
 def _cal_logit(llrx, llry, llrz, graph: QuantumGraph):
     """Check-satisfaction logits over pcm_x_perp / pcm_z_perp rows
     (decoding_q.py:455-471)."""
     llr_x, llr_z = quaternary_to_binary_llrs(llrx, llry, llrz)
-    x_logit = boxplus_rows(_pad_vn(llr_x), graph.logit_rows_x)
-    z_logit = boxplus_rows(_pad_vn(llr_z), graph.logit_rows_z)
+    x_logit = boxplus_rows(llr_x, graph.logit_rows_x)
+    z_logit = boxplus_rows(llr_z, graph.logit_rows_z)
     return x_logit, z_logit
 
 
 def hard_decision(llrx, llry, llrz):
     """argmin over (0, llrx, llrz, llry) -> Pauli in {I,X,Z,Y}
-    (decoding_q.py:786-790).  Returns int32 (x_hat, z_hat)."""
+    (decoding_q.py:786-790).  Returns int32 (x_hat, z_hat); zero rows give
+    decision I -> (0, 0), preserving pad invariants."""
     stacked = jnp.stack([jnp.zeros_like(llrx), llrx, llrz, llry], axis=0)
     decision = jnp.argmin(stacked, axis=0).astype(jnp.int32)
     x_hat = decision & 1
@@ -129,8 +144,9 @@ def bp4_decode(
     """Run ``num_iter`` BP4 iterations.
 
     Args:
-      llr_ch: [3, n, B] channel LLRs in (x, y, z) order.
-      syndrome_x / syndrome_z: [mx, B] / [mz, B] in {0, 1}.
+      llr_ch: [3, n, B] or [3, n_pad, B] channel LLRs in (x, y, z) order
+        (pad rows, if present, must be zero).
+      syndrome_x / syndrome_z: [mx(,pad), B] / [mz(,pad), B] in {0, 1}.
       collect_logits: also return the per-iteration logit stack used by the
         deep-supervision training loss (stage_two mode of the reference).
       axis_name: mesh axis for CN/edge-partitioned execution under shard_map.
@@ -139,9 +155,11 @@ def bp4_decode(
     gx, gz = graph.gx, graph.gz
     b = llr_ch.shape[-1]
 
-    llr_ch = llr_ch.astype(jnp.float32)
-    syn_x_pm = (1.0 - 2.0 * syndrome_x).astype(jnp.float32)
-    syn_z_pm = (1.0 - 2.0 * syndrome_z).astype(jnp.float32)
+    llr_ch = _pad_rows_to(llr_ch.astype(jnp.float32), gx.n_pad)
+    syndrome_x = _pad_rows_to(syndrome_x.astype(jnp.float32), gx.c_pad)
+    syndrome_z = _pad_rows_to(syndrome_z.astype(jnp.float32), gz.c_pad)
+    syn_x_pm = 1.0 - 2.0 * syndrome_x
+    syn_z_pm = 1.0 - 2.0 * syndrome_z
 
     cn_mask_x = jnp.asarray(gx.cn_mask)
     cn_mask_z = jnp.asarray(gz.cn_mask)
@@ -165,13 +183,12 @@ def bp4_decode(
 
         return (msg_x, msg_z), ys
 
-    # zero initial messages, but carrying the joined varying-manual-axes of
-    # the inputs (llr + syndromes) so scan carries type-check under
-    # shard_map(check_vma=True) on any mesh
+    # zero initial messages carrying the joined varying-manual-axes of the
+    # inputs so scan carries type-check under shard_map(check_vma=True)
     vma_seed = 0.0 * (jnp.sum(llr_ch) + jnp.sum(syn_x_pm) + jnp.sum(syn_z_pm))
     msg0 = (
-        jnp.zeros((gx.num_edges, b), jnp.float32) + vma_seed,
-        jnp.zeros((gz.num_edges, b), jnp.float32) + vma_seed,
+        jnp.zeros((gx.max_vn_deg, gx.n_pad, b), jnp.float32) + vma_seed,
+        jnp.zeros((gz.max_vn_deg, gz.n_pad, b), jnp.float32) + vma_seed,
     )
     (msg_x, msg_z), stack = jax.lax.scan(step, msg0, None, length=num_iter)
 
@@ -186,8 +203,8 @@ def bp4_decode(
     logit_stack = None
     if collect_logits:
         # [num_iter+1, ...]: per-iteration logits plus the final ones, in the
-        # same order the reference writes its TensorArray (iteration it at
-        # slot it, final at slot num_iter).
+        # reference's TensorArray order (iteration it at slot it, final at
+        # slot num_iter).
         xs, zs = stack
         logit_stack = (
             jnp.concatenate([xs, x_logit[None]], axis=0),

@@ -49,11 +49,15 @@ class CascadeConfig:
     p0: float = 0.05  # prior used for the uniform llr init
 
 
-def prior_llr(p0, n, batch):
+def prior_llr(p0, n, batch, n_pad=None):
     """Uniform depolarizing prior llr = log(3(1-p0)/p0) replicated over
-    (x, y, z) (feedback_gnn.py:311-313)."""
+    (x, y, z) (feedback_gnn.py:311-313).  With ``n_pad`` the result is
+    [3, n_pad, batch] with ZERO pad rows (the aligned-layout invariant)."""
     val = jnp.log(3.0 * (1.0 - p0) / p0)
-    return jnp.full((3, n, batch), val, jnp.float32)
+    if n_pad is None:
+        return jnp.full((3, n, batch), val, jnp.float32)
+    body = jnp.full((3, n, batch), val, jnp.float32)
+    return jnp.pad(body, ((0, 0), (0, n_pad - n), (0, 0)))
 
 
 def sandwich_decode(
@@ -160,6 +164,7 @@ def sandwich_eval_step(
     (s_hat [mz+mx, B], ls_hat [Rx+Rz, B]) batch-first.
     """
     n = graph.n
+    n_pad = graph.n_pad
     if data_axis is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
     if wt is not None:
@@ -167,6 +172,9 @@ def sandwich_eval_step(
     else:
         px, py, pz = depolarizing_probs(p)
         noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+    # aligned padded layout: zero pad rows
+    noise_x = jnp.pad(noise_x.astype(jnp.int32), ((0, n_pad - n), (0, 0)))
+    noise_z = jnp.pad(noise_z.astype(jnp.int32), ((0, n_pad - n), (0, 0)))
 
     hx = jnp.asarray(graph.hx)
     hz = jnp.asarray(graph.hz)
@@ -176,7 +184,7 @@ def sandwich_eval_step(
     gt_sx = mod2_matmul(hz, noise_x)  # [mz, B] (gt_x at feedback_gnn.py:315)
     gt_sz = mod2_matmul(hx, noise_z)  # [mx, B]
 
-    llr0 = prior_llr(cfg.p0, n, batch)
+    llr0 = prior_llr(cfg.p0, n, batch, n_pad=n_pad)
     x_hat, z_hat = sandwich_decode(
         graph,
         gnn_params_list,
@@ -201,7 +209,13 @@ def sandwich_eval_step(
     s_hat = jnp.concatenate([sx, sz], axis=0)
     ls_hat = jnp.concatenate([lsx, lsz], axis=0)
     if return_full:
-        return s_hat.T, ls_hat.T  # batch-first, reference convention
+        # batch-first, true (unpadded) rows — reference convention
+        mx_true, mz_true = graph.gx.num_cn, graph.gz.num_cn
+        s_hat_true = jnp.concatenate([sx[:mz_true], sz[:mx_true]], axis=0)
+        ls_hat_true = jnp.concatenate(
+            [lsx[: graph.hx_perp_rows], lsz[: graph.hz_perp_rows]], axis=0
+        )
+        return s_hat_true.T, ls_hat_true.T
 
     flagged = jnp.any(s_hat != 0, axis=0)
     logical = jnp.any(ls_hat != 0, axis=0)

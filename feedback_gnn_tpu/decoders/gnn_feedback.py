@@ -80,17 +80,13 @@ def _mlp_all_tanh(x, layers):
 
 
 def _vn_mean(messages, graph: TannerGraph, axis_name=None):
-    """Mean of per-edge messages at each VN: [F, E, B] -> [F, n, B]."""
-    if graph.vn_uniform and graph.num_edges == graph.num_vn * graph.max_vn_deg:
-        f, _, b = messages.shape
-        s = messages.reshape(f, graph.num_vn, graph.max_vn_deg, b).sum(axis=2)
-    else:
-        pad = jnp.zeros((messages.shape[0], 1, messages.shape[2]), messages.dtype)
-        mp = jnp.concatenate([messages, pad], axis=1)
-        s = (mp[:, graph.vn_edge] * graph.vn_mask[None, :, :, None]).sum(axis=2)
+    """Mean of per-edge (slot-major) messages at each VN:
+    [F, dv, n_pad, B] -> [F, n_pad, B].  Pad slots are masked; division is
+    by the true (global) degree so edge-sharded partial sums psum correctly."""
+    s = (messages * graph.vn_mask[None, :, :, None]).sum(axis=1)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
-    return s / graph.vn_deg[None, :, None]
+    return s / jnp.maximum(graph.vn_deg, 1.0)[None, :, None]
 
 
 def feedback_gnn_apply(
@@ -106,39 +102,61 @@ def feedback_gnn_apply(
     """One feedback-GNN step.
 
     Args:
-      h_vn: [3, n, B] stacked (llrx, llry, llrz) marginals from the last BP.
+      h_vn: [3, n, B] or [3, n_pad, B] stacked (llrx, llry, llrz) marginals
+        from the last BP (padded accepted and returned).
       logit_hx / logit_hz: [mx, B] / [mz, B] per-check logits (the Hx-row /
         Hz-row slices of the BP's x/z perp logits; see cascade.py for the
         naming swap the reference performs at feedback_gnn.py:335).
       syndrome_x / syndrome_z: [mx, B] / [mz, B] in {0,1}.
 
-    Returns new llr init [3, n, B] in (x, y, z) order.
+    Returns new llr init [3, n_pad, B] in (x, y, z) order.  NOTE: pad rows
+    of the output are generally NONZERO (MLP biases); downstream BP handles
+    this via masked CN updates, but anything assuming zero pads must slice.
     """
-    syn_x_pm = (1.0 - 2.0 * syndrome_x).astype(jnp.float32)
-    syn_z_pm = (1.0 - 2.0 * syndrome_z).astype(jnp.float32)
-    h_cn_x = (logit_hx * syn_x_pm)[None]  # [1, mx, B]
-    h_cn_z = (logit_hz * syn_z_pm)[None]
-
     gx, gz = graph.gx, graph.gz
-    # per-edge features: [4, E, B] = concat(cn feature, vn features)
+
+    def padc(x, rows):
+        cur = x.shape[0]
+        return x if cur == rows else jnp.pad(x, ((0, rows - cur), (0, 0)))
+
+    syn_x_pm = 1.0 - 2.0 * padc(syndrome_x.astype(jnp.float32), gx.c_pad)
+    syn_z_pm = 1.0 - 2.0 * padc(syndrome_z.astype(jnp.float32), gz.c_pad)
+    # pad CN rows of h_cn get gathered only by pad vn slots, which the mean
+    # masks out — zero them anyway for cleanliness
+    h_cn_x = padc(logit_hx, gx.c_pad) * syn_x_pm  # [c_pad_x, B]
+    h_cn_z = padc(logit_hz, gz.c_pad) * syn_z_pm
+
+    if h_vn.shape[1] != gx.n_pad:
+        h_vn = jnp.pad(h_vn, ((0, 0), (0, gx.n_pad - h_vn.shape[1]), (0, 0)))
+
+    # per-vn-slot CN features via the aligned byslot gather: [dv, n_pad, B].
+    # The pad sentinel (num_cn) indexes a pad row of h_cn_* which is zero
+    # (c_pad > num_cn always, and pad logits/syndromes are zero-padded).
+    h_cn_e_x = h_cn_x[gx.edge_cn_byslot]  # [dv, n_pad, B]
+    h_cn_e_z = h_cn_z[gz.edge_cn_byslot]
+
+    # per-edge features: [4, dv, n_pad, B] = concat(cn feature, vn features)
+    dvx, dvz = gx.max_vn_deg, gz.max_vn_deg
     feat_x = jnp.concatenate(
-        [h_cn_x[:, gx.edge_cn], h_vn[:, gx.edge_vn]], axis=0
+        [h_cn_e_x[None], jnp.broadcast_to(h_vn[:, None], (3, dvx) + h_vn.shape[1:])],
+        axis=0,
     )
     feat_z = jnp.concatenate(
-        [h_cn_z[:, gz.edge_cn], h_vn[:, gz.edge_vn]], axis=0
+        [h_cn_e_z[None], jnp.broadcast_to(h_vn[:, None], (3, dvz) + h_vn.shape[1:])],
+        axis=0,
     )
 
-    msg_x = _mlp_tanh(feat_x, params["msg_mlp_x"])  # [msg_dims, E, B]
+    msg_x = _mlp_tanh(feat_x, params["msg_mlp_x"])  # [msg_dims, dv, n_pad, B]
     msg_z = _mlp_tanh(feat_z, params["msg_mlp_z"])
 
-    m_x = _vn_mean(msg_x, gx, axis_name)  # [msg_dims, n, B]
+    m_x = _vn_mean(msg_x, gx, axis_name)  # [msg_dims, n_pad, B]
     m_z = _vn_mean(msg_z, gz, axis_name)
 
-    embed_in = jnp.concatenate([m_x, m_z, h_vn], axis=0)  # [2*msg+3, n, B]
-    h = _mlp_all_tanh(embed_in, params["embed_mlp"])  # [hidden, n, B]
+    embed_in = jnp.concatenate([m_x, m_z, h_vn], axis=0)  # [2*msg+3, n_pad, B]
+    h = _mlp_all_tanh(embed_in, params["embed_mlp"])  # [hidden, n_pad, B]
     out = dense_bl(
         h, params["llr_inv_embed"]["kernel"], params["llr_inv_embed"].get("bias")
-    )  # [3, n, B] in (x, y, z) order
+    )  # [3, n_pad, B] in (x, y, z) order
     return out
 
 

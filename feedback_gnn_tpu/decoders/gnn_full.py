@@ -78,22 +78,25 @@ def init_gnn_bp4(key, cfg: GNNBP4Config):
     }
 
 
-def _edge_features(h_from, h_to, from_idx, to_idx):
-    """concat(gather(h_from), gather(h_to)) along the feature axis:
-    [2*d_e, E, B]."""
-    return jnp.concatenate([h_from[:, from_idx], h_to[:, to_idx]], axis=0)
+def _vn_slot_features(h_cn, h_vn, graph: TannerGraph):
+    """Per-vn-slot features: concat(h_cn[cn(slot)], h_vn) -> [2e, dv, n_pad, B]."""
+    e = h_vn.shape[0]
+    h_cn_e = h_cn[:, graph.edge_cn_byslot]  # [e, dv, n_pad, B]
+    h_vn_b = jnp.broadcast_to(h_vn[:, None], (e, graph.max_vn_deg) + h_vn.shape[1:])
+    return jnp.concatenate([h_cn_e, h_vn_b], axis=0)
 
 
-def _reduce_nodes(messages, graph: TannerGraph, side: str, reduce_op: str, axis_name=None):
-    """Aggregate per-edge messages [m, E, B] at VNs or CNs -> [m, N, B]."""
-    if side == "vn":
-        idx, mask, deg = graph.vn_edge, graph.vn_mask, graph.vn_deg
-    else:
-        idx, mask, deg = graph.cn_edge, graph.cn_mask, graph.cn_deg
-    pad = jnp.zeros((messages.shape[0], 1, messages.shape[2]), messages.dtype)
-    mp = jnp.concatenate([messages, pad], axis=1)
-    g = mp[:, idx] * mask[None, :, :, None]  # [m, N, D, B]
-    s = g.sum(axis=2)
+def _cn_slot_features(h_vn, h_cn, graph: TannerGraph):
+    """Per-cn-slot features: concat(h_vn[vn(slot)], h_cn) -> [2e, dc, c_pad, B]."""
+    e = h_cn.shape[0]
+    h_vn_e = h_vn[:, graph.edge_vn_byslot]  # [e, dc, c_pad, B]
+    h_cn_b = jnp.broadcast_to(h_cn[:, None], (e, graph.max_cn_deg) + h_cn.shape[1:])
+    return jnp.concatenate([h_vn_e, h_cn_b], axis=0)
+
+
+def _reduce_slots(messages, mask, deg, reduce_op: str, axis_name=None):
+    """Aggregate per-slot messages [m, d, N_pad, B] at nodes -> [m, N_pad, B]."""
+    s = (messages * mask[None, :, :, None]).sum(axis=1)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     if reduce_op == "sum":
@@ -109,30 +112,30 @@ def _cal_logit(params, graph: QuantumGraph, lrowsets, h_vn):
     z_perp_logit)."""
     emb = dense_bl(
         h_vn, params["llr_inv_embed"]["kernel"], params["llr_inv_embed"].get("bias")
-    )  # [3, n, B]
+    )  # [3, n_pad, B]
     llrx, llry, llrz = emb[0], emb[1], emb[2]
     llr_x, llr_z = quaternary_to_binary_llrs(llrx, llry, llrz)
     rows_hx, rows_hz, rows_lx, rows_lz = lrowsets
 
-    def pad(v):
-        return jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)], axis=0)
-
-    hz_logit = boxplus_rows(pad(llr_x), rows_hz)  # X-error checks
-    lz_logit = boxplus_rows(pad(llr_x), rows_lz)
-    hx_logit = boxplus_rows(pad(llr_z), rows_hx)  # Z-error checks
-    lx_logit = boxplus_rows(pad(llr_z), rows_lx)
+    hz_logit = boxplus_rows(llr_x, rows_hz)  # X-error checks
+    lz_logit = boxplus_rows(llr_x, rows_lz)
+    hx_logit = boxplus_rows(llr_z, rows_hx)  # Z-error checks
+    lx_logit = boxplus_rows(llr_z, rows_lx)
     x_perp_logit = jnp.concatenate([hz_logit, lz_logit], axis=0)
     z_perp_logit = jnp.concatenate([hx_logit, lx_logit], axis=0)
     return hx_logit, hz_logit, x_perp_logit, z_perp_logit, (llrx, llry, llrz)
 
 
 def make_logit_rowsets(graph: QuantumGraph):
-    """RowSets for cal_logit: hx, hz, lx, lz rows (gnn.py:304-313)."""
+    """RowSets for cal_logit: hx, hz, lx, lz rows (gnn.py:304-313).
+
+    The QuantumGraph stores padded matrices; slice to true rows and point
+    pad sentinels at the zero pad row ``graph.n``."""
     return (
-        build_rowset(np.asarray(graph.hx)),
-        build_rowset(np.asarray(graph.hz)),
-        build_rowset(np.asarray(graph.lx)),
-        build_rowset(np.asarray(graph.lz)),
+        build_rowset(np.asarray(graph.hx)[: graph.gx.num_cn], vn_sentinel=graph.n),
+        build_rowset(np.asarray(graph.hz)[: graph.gz.num_cn], vn_sentinel=graph.n),
+        build_rowset(np.asarray(graph.lx)[: graph.lx_rows], vn_sentinel=graph.n),
+        build_rowset(np.asarray(graph.lz)[: graph.lz_rows], vn_sentinel=graph.n),
     )
 
 
@@ -156,21 +159,25 @@ def gnn_bp4_apply(
     b = syndrome_x.shape[-1]
     e = cfg.num_embed_dims
 
-    syn_x_pm = (1.0 - 2.0 * syndrome_x).astype(jnp.float32)  # [mx, B]
-    syn_z_pm = (1.0 - 2.0 * syndrome_z).astype(jnp.float32)
+    def padc(x, rows):
+        cur = x.shape[0]
+        return x if cur == rows else jnp.pad(x, ((0, rows - cur), (0, 0)))
 
-    h_vn = jnp.ones((e, graph.n, b), jnp.float32)
-    h_cn_x = jnp.zeros((e, gx.num_cn, b), jnp.float32)
-    h_cn_z = jnp.zeros((e, gz.num_cn, b), jnp.float32)
+    syn_x_pm = 1.0 - 2.0 * padc(syndrome_x.astype(jnp.float32), gx.c_pad)
+    syn_z_pm = 1.0 - 2.0 * padc(syndrome_z.astype(jnp.float32), gz.c_pad)
+
+    h_vn = jnp.ones((e, gx.n_pad, b), jnp.float32)
+    h_cn_x = jnp.zeros((e, gx.c_pad, b), jnp.float32)
+    h_cn_z = jnp.zeros((e, gz.c_pad, b), jnp.float32)
 
     def update_cn(h_vn, h_cn_x, h_cn_z, hx_logit, hz_logit):
         # "from VN to CN": from = vn endpoint, to = cn endpoint (gnn.py:256)
-        feat_x = _edge_features(h_vn, h_cn_x, gx.edge_vn, gx.edge_cn)
-        feat_z = _edge_features(h_vn, h_cn_z, gz.edge_vn, gz.edge_cn)
-        msg_x = _mlp(feat_x, params["cn_msg_mlp_x"], act)
+        feat_x = _cn_slot_features(h_vn, h_cn_x, gx)
+        feat_z = _cn_slot_features(h_vn, h_cn_z, gz)
+        msg_x = _mlp(feat_x, params["cn_msg_mlp_x"], act)  # [m, dc, c_pad, B]
         msg_z = _mlp(feat_z, params["cn_msg_mlp_z"], act)
-        m_x = _reduce_nodes(msg_x, gx, "cn", cfg.reduce_op)
-        m_z = _reduce_nodes(msg_z, gz, "cn", cfg.reduce_op)
+        m_x = _reduce_slots(msg_x, gx.cn_mask, gx.cn_deg, cfg.reduce_op)
+        m_z = _reduce_slots(msg_z, gz.cn_mask, gz.cn_deg, cfg.reduce_op)
         new_x = _mlp(
             jnp.concatenate([m_x, h_cn_x, hx_logit[None]], axis=0),
             params["cn_embed_mlp_x"],
@@ -184,15 +191,15 @@ def gnn_bp4_apply(
         return new_x, new_z
 
     def update_vn(h_cn_x, h_cn_z, h_vn):
-        feat_x = _edge_features(h_cn_x, h_vn, gx.edge_cn, gx.edge_vn)
-        feat_z = _edge_features(h_cn_z, h_vn, gz.edge_cn, gz.edge_vn)
-        msg_x = _mlp(feat_x, params["vn_msg_mlp_x"], act)
+        feat_x = _vn_slot_features(h_cn_x, h_vn, gx)
+        feat_z = _vn_slot_features(h_cn_z, h_vn, gz)
+        msg_x = _mlp(feat_x, params["vn_msg_mlp_x"], act)  # [m, dv, n_pad, B]
         msg_z = _mlp(feat_z, params["vn_msg_mlp_z"], act)
         # syndrome-signed messages (gnn.py:733-737)
-        msg_x = msg_x * syn_x_pm[None, gx.edge_cn]
-        msg_z = msg_z * syn_z_pm[None, gz.edge_cn]
-        m_x = _reduce_nodes(msg_x, gx, "vn", cfg.reduce_op, axis_name)
-        m_z = _reduce_nodes(msg_z, gz, "vn", cfg.reduce_op, axis_name)
+        msg_x = msg_x * syn_x_pm[gx.edge_cn_byslot][None]
+        msg_z = msg_z * syn_z_pm[gz.edge_cn_byslot][None]
+        m_x = _reduce_slots(msg_x, gx.vn_mask, gx.vn_deg, cfg.reduce_op, axis_name)
+        m_z = _reduce_slots(msg_z, gz.vn_mask, gz.vn_deg, cfg.reduce_op, axis_name)
         return _mlp(
             jnp.concatenate([m_x, m_z, h_vn], axis=0), params["vn_embed_mlp"], act
         )
@@ -238,15 +245,28 @@ def gnn_bp4_loss(
     from ..ops.gf2mat import mod2_matmul
     from ..train.loss import bce_with_logits
 
+    # pad noise to the aligned layout
+    n, n_pad = graph.n, graph.gx.n_pad
+    noise_x = jnp.pad(noise_x.astype(jnp.int32), ((0, n_pad - noise_x.shape[0]), (0, 0)))
+    noise_z = jnp.pad(noise_z.astype(jnp.int32), ((0, n_pad - noise_z.shape[0]), (0, 0)))
+
     hx = jnp.asarray(graph.hx)
     hz = jnp.asarray(graph.hz)
-    syndrome_x = mod2_matmul(hx, noise_z)
+    syndrome_x = mod2_matmul(hx, noise_z)  # [cx_pad, B]
     syndrome_z = mod2_matmul(hz, noise_x)
-    lsz = mod2_matmul(jnp.asarray(graph.lz), noise_x.astype(jnp.int32))
-    lsx = mod2_matmul(jnp.asarray(graph.lx), noise_z.astype(jnp.int32))
+    rows_hx, rows_hz, rows_lx, rows_lz = lrowsets
+    # logical syndromes, padded to the rowsets' aligned row counts
+    lsz = mod2_matmul(jnp.asarray(graph.lz)[: rows_lz.r_pad], noise_x)
+    lsx = mod2_matmul(jnp.asarray(graph.lx)[: rows_lx.r_pad], noise_z)
 
-    gt_x = 1.0 - jnp.concatenate([syndrome_z, lsz], axis=0).astype(jnp.float32)
-    gt_z = 1.0 - jnp.concatenate([syndrome_x, lsx], axis=0).astype(jnp.float32)
+    gt_x = 1.0 - jnp.concatenate(
+        [syndrome_z[: rows_hz.r_pad], lsz], axis=0
+    ).astype(jnp.float32)
+    gt_z = 1.0 - jnp.concatenate(
+        [syndrome_x[: rows_hx.r_pad], lsx], axis=0
+    ).astype(jnp.float32)
+    rv_x = jnp.concatenate([jnp.asarray(rows_hz.row_valid), jnp.asarray(rows_lz.row_valid)])
+    rv_z = jnp.concatenate([jnp.asarray(rows_hx.row_valid), jnp.asarray(rows_lx.row_valid)])
 
     _, _, stack = gnn_bp4_apply(
         params, graph, lrowsets, syndrome_x, syndrome_z, cfg, collect_logits=True
@@ -254,5 +274,9 @@ def gnn_bp4_loss(
     loss = 0.0
     for i in range(loss_from, cfg.num_iter):
         x_perp, z_perp = stack[i]
-        loss = loss + bce_with_logits(gt_x, x_perp) + bce_with_logits(gt_z, z_perp)
+        loss = (
+            loss
+            + bce_with_logits(gt_x, x_perp, rv_x)
+            + bce_with_logits(gt_z, z_perp, rv_z)
+        )
     return loss

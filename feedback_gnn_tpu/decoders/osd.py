@@ -97,29 +97,42 @@ def bp_osd_correct(graph, bp_result, noise_x, noise_z, pivot_hx, pivot_hz, hx_ba
     """
     hx = jnp.asarray(graph.hx)
     hz = jnp.asarray(graph.hz)
+    n = graph.n
 
+    def padn(x):
+        x = x.astype(jnp.int32)
+        if x.shape[0] == graph.n_pad:
+            return x
+        return jnp.pad(x, ((0, graph.n_pad - n), (0, 0)))
+
+    noise_x = padn(noise_x)
+    noise_z = padn(noise_z)
     # flagged = BP failed to reproduce the syndrome (bp_osd.py:129-133)
-    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), bp_result.x_hat)
-    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), bp_result.z_hat)
+    x_diff = jnp.bitwise_xor(noise_x, bp_result.x_hat)
+    z_diff = jnp.bitwise_xor(noise_z, bp_result.z_hat)
     sx_res = mod2_matmul(hz, x_diff)
     sz_res = mod2_matmul(hx, z_diff)
     flagged = jnp.logical_or(
         jnp.any(sx_res != 0, axis=0), jnp.any(sz_res != 0, axis=0)
     )  # [B]
 
-    # binary reliabilities from quaternary marginals (bp_osd.py:136-142)
+    # binary reliabilities from quaternary marginals (bp_osd.py:136-142);
+    # slice the padded marginals to the true qubit count for the OSD solve
     osd_llrx, osd_llrz = quaternary_to_binary_llrs(
-        bp_result.llrx, bp_result.llry, bp_result.llrz
+        bp_result.llrx[:n], bp_result.llry[:n], bp_result.llrz[:n]
     )
 
     # pivot-reduced syndromes of the true noise (bp_osd.py:150-154)
-    syndrome_x = mod2_matmul(hx, noise_z.astype(jnp.int32))
-    syndrome_z = mod2_matmul(hz, noise_x.astype(jnp.int32))
+    syndrome_x = mod2_matmul(hx, noise_z)
+    syndrome_z = mod2_matmul(hz, noise_x)
     red_sx = syndrome_x[jnp.asarray(pivot_hx)]
     red_sz = syndrome_z[jnp.asarray(pivot_hz)]
 
     z_hat_osd = osd0_decode(osd_llrz.T, jnp.asarray(hx_basis), red_sx).T  # [n, B]
     x_hat_osd = osd0_decode(osd_llrx.T, jnp.asarray(hz_basis), red_sz).T
+    pad = ((0, graph.n_pad - n), (0, 0))
+    x_hat_osd = jnp.pad(x_hat_osd, pad)
+    z_hat_osd = jnp.pad(z_hat_osd, pad)
 
     x_hat = jnp.where(flagged[None, :], x_hat_osd, bp_result.x_hat)
     z_hat = jnp.where(flagged[None, :], z_hat_osd, bp_result.z_hat)

@@ -64,18 +64,22 @@ def bp2_bsc_eval_step(
     logical_pcm = jnp.asarray(logical_pcm, jnp.float32)
     n = pcm.shape[1]
 
-    noise = bsc_sample(key, p, (n, batch))  # [n, B]
+    noise = bsc_sample(key, p, (n, batch)).astype(jnp.int32)  # [n, B]
     p_prior = p if p0 is None else p0
     llr_const = -jnp.log((1.0 - p_prior) / p_prior)
-    llr = jnp.full((n, batch), llr_const, jnp.float32)
+    # zero pad rows (aligned-layout invariant)
+    llr = jnp.pad(
+        jnp.full((n, batch), llr_const, jnp.float32),
+        ((0, pcm_graph.n_pad - n), (0, 0)),
+    )
     syndrome = mod2_matmul(pcm, noise)
 
     res = bp2_decode(
         pcm_graph, llr, syndrome, num_iter, cn_type, normalization_factor
     )
-    noise_hat = res.hard  # [n, B]
+    noise_hat = res.hard[:n]  # [n, B]
 
-    diff = jnp.bitwise_xor(noise.astype(jnp.int32), noise_hat)
+    diff = jnp.bitwise_xor(noise, noise_hat)
     s_hat = mod2_matmul(pcm, diff)
     ls_hat = mod2_matmul(logical_pcm, diff)
     return _counts(s_hat, ls_hat)
@@ -96,18 +100,20 @@ def bp4_plain_eval_step(
     n = graph.n
     px, py, pz = depolarizing_probs(p)
     noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+    noise_x = jnp.pad(noise_x.astype(jnp.int32), ((0, graph.n_pad - n), (0, 0)))
+    noise_z = jnp.pad(noise_z.astype(jnp.int32), ((0, graph.n_pad - n), (0, 0)))
     hx = jnp.asarray(graph.hx)
     hz = jnp.asarray(graph.hz)
     syndrome_x = mod2_matmul(hx, noise_z)
     syndrome_z = mod2_matmul(hz, noise_x)
     p_prior = p if p0 is None else p0
-    llr0 = jnp.full((3, n, batch), jnp.log(3.0 * (1.0 - p_prior) / p_prior))
+    llr0 = prior_llr(p_prior, n, batch, n_pad=graph.n_pad)
 
     res = bp4_decode(
         graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type, normalization_factor
     )
-    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), res.x_hat)
-    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), res.z_hat)
+    x_diff = jnp.bitwise_xor(noise_x, res.x_hat)
+    z_diff = jnp.bitwise_xor(noise_z, res.z_hat)
     s_hat = jnp.concatenate([mod2_matmul(hz, x_diff), mod2_matmul(hx, z_diff)], axis=0)
     ls_hat = jnp.concatenate(
         [
@@ -136,11 +142,13 @@ def bp4_osd_eval_step(
     n = graph.n
     px, py, pz = depolarizing_probs(p)
     noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+    noise_x = jnp.pad(noise_x.astype(jnp.int32), ((0, graph.n_pad - n), (0, 0)))
+    noise_z = jnp.pad(noise_z.astype(jnp.int32), ((0, graph.n_pad - n), (0, 0)))
     hx = jnp.asarray(graph.hx)
     hz = jnp.asarray(graph.hz)
     syndrome_x = mod2_matmul(hx, noise_z)
     syndrome_z = mod2_matmul(hz, noise_x)
-    llr0 = jnp.full((3, n, batch), jnp.log(3.0 * (1.0 - p) / p))
+    llr0 = prior_llr(p, n, batch, n_pad=graph.n_pad)
 
     res = bp4_decode(
         graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type, normalization_factor
@@ -186,24 +194,27 @@ def bp2_osd_eval_step(
     logical_pcm = jnp.asarray(logical_pcm, jnp.float32)
     n = pcm.shape[1]
 
-    noise = bsc_sample(key, p, (n, batch))
+    noise = bsc_sample(key, p, (n, batch)).astype(jnp.int32)
     llr_const = -jnp.log((1.0 - p) / p)
-    llr = jnp.full((n, batch), llr_const, jnp.float32)
+    llr = jnp.pad(
+        jnp.full((n, batch), llr_const, jnp.float32),
+        ((0, pcm_graph.n_pad - n), (0, 0)),
+    )
     syndrome = mod2_matmul(pcm, noise)
 
     res = bp2_decode(pcm_graph, llr, syndrome, num_iter, cn_type, normalization_factor)
-    noise_hat = res.hard
+    noise_hat = res.hard[:n]
 
-    diff = jnp.bitwise_xor(noise.astype(jnp.int32), noise_hat)
+    diff = jnp.bitwise_xor(noise, noise_hat)
     flagged = jnp.any(mod2_matmul(pcm, diff) != 0, axis=0)
 
     # OSD on the soft output: llr_hat = -logits (bp_osd.py:224-236)
-    osd_llr = -res.logits  # [n, B], "true llr" convention
+    osd_llr = -res.logits[:n]  # [n, B], "true llr" convention
     reduced_s = syndrome[jnp.asarray(pivot_pcm)]
     noise_hat_osd = osd0_decode(osd_llr.T, jnp.asarray(pcm_basis), reduced_s).T
 
     noise_final = jnp.where(flagged[None, :], noise_hat_osd, noise_hat)
-    diff = jnp.bitwise_xor(noise.astype(jnp.int32), noise_final)
+    diff = jnp.bitwise_xor(noise, noise_final)
     ls_hat = mod2_matmul(logical_pcm, diff)
     logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
     return jnp.int32(0), logical

@@ -1,23 +1,25 @@
-"""Edge-partitioning of the Tanner graph across a mesh axis.
+"""Edge-partitioning of the Tanner graph across a mesh axis (aligned layout).
 
 Greenfield TPU-native component (no reference counterpart; SURVEY.md §2.3
 Mode B): check nodes (and with them their edges, PCM rows, logit rows) are
 partitioned into contiguous blocks, one per shard on the ``edge`` mesh axis.
-Every shard keeps the full VN state ``[n, B_local]`` replicated; the only
-cross-shard communication is a ``psum`` of the per-VN partial message sums —
-one ``[n, B]`` all-reduce per BP iteration riding the ICI.
+Every shard keeps the full VN state ``[*, n_pad, B_local]`` replicated; the
+only cross-shard communication is a ``psum`` of the per-VN partial message
+sums — one ``[n_pad, B]`` all-reduce per BP iteration riding the ICI.
 
-Construction invariants (consumed by decoders/* with ``axis_name=...``):
+Per-shard graphs reuse the aligned slot-major invariants of codes/graph.py:
 
-* every shard's tables are padded to identical shapes (E_max edges, C_max
-  CNs per graph) so the stacked bundle has a uniform leading shard axis;
-* phantom edges point their CN slot at flat index 0 — their values are
-  finite garbage that no VN table or CN slot ever reads back;
-* phantom CNs have all-sentinel edge slots and zero PCM rows (syndrome 0);
-* RowSets carry ``row_valid`` masks so losses can exclude phantom rows;
+* every shard's tables are padded to identical aligned shapes (same
+  ``c_pad_s`` / row pads across shards) so the stacked bundle has a uniform
+  leading shard axis;
+* each VN's local slots hold its local edges; unused slots point at a pad
+  CN slot (zero by the masked-CN-update invariant), so unmasked VN sums
+  remain exact per shard and psum to the global sum;
+* RowSets carry ``row_valid`` masks excluding both alignment pads and
+  cross-shard phantom rows;
 * ``vn_deg`` stays GLOBAL so post-psum mean reductions divide correctly;
-* the logit RowSets are partitioned with exactly the same CN blocks as the
-  corresponding decoder graph, keeping the GNN's per-edge h_cn gathers local.
+* logit RowSets are partitioned with exactly the same CN blocks as the
+  corresponding decoder graph, keeping the GNN's per-slot h_cn gathers local.
 """
 
 from __future__ import annotations
@@ -26,9 +28,13 @@ import numpy as np
 
 import jax
 
-from ..codes.graph import QuantumGraph, RowSet, TannerGraph
+from ..codes.graph import QuantumGraph, RowSet, TannerGraph, pad_rows
 
 __all__ = ["shard_quantum_graph", "unstack_shard", "shard_bounds"]
+
+
+def _aligned(count: int) -> int:
+    return ((count + 1 + 7) // 8) * 8
 
 
 def shard_bounds(num_rows: int, num_shards: int):
@@ -46,100 +52,124 @@ def shard_bounds(num_rows: int, num_shards: int):
 
 
 def _shard_tanner(graph: TannerGraph, num_shards: int):
-    """Split one TannerGraph into per-shard graphs (list) with equal padded
-    shapes.  CN ids are LOCAL within each shard."""
+    """Split one aligned TannerGraph into per-shard graphs (list) with equal
+    padded shapes.  CN ids are LOCAL within each shard."""
     bounds = shard_bounds(graph.num_cn, num_shards)
-    c_max = max(e - s for s, e in bounds)
-
-    shard_edges = []
-    for s, e in bounds:
-        sel = np.nonzero((graph.edge_cn >= s) & (graph.edge_cn < e))[0]
-        shard_edges.append(sel)  # global edge ids, VN-major order preserved
-    e_max = max(len(s) for s in shard_edges)
-
+    c_pad_s = _aligned(max(e - s for s, e in bounds))
     n = graph.num_vn
-    d_v = graph.max_vn_deg
-    d_c = graph.max_cn_deg
+    n_pad = graph.n_pad
+    dv, dc = graph.max_vn_deg, graph.max_cn_deg
+
+    pad_vn_flat = n  # slot 0, pad VN row
     shards = []
-    for (s, e), sel in zip(bounds, shard_edges):
-        el = len(sel)
-        edge_vn = np.zeros(e_max, np.int32)
-        edge_vn[:el] = graph.edge_vn[sel]
-        edge_cn = np.zeros(e_max, np.int32)
-        edge_cn[:el] = graph.edge_cn[sel] - s  # local CN ids
+    for s, e in bounds:
+        c_local = e - s
+        sel = (graph.edge_cn >= s) & (graph.edge_cn < e)
+        evn = graph.edge_vn[sel]
+        ecn = graph.edge_cn[sel] - s
 
-        vn_edge = np.full((n, d_v), e_max, np.int32)
-        vn_mask = np.zeros((n, d_v), np.float32)
+        pad_cn_flat = c_local  # slot 0 of the local pad CN row
+        cn_gather = np.full(dc * c_pad_s, pad_vn_flat, np.int32)
+        vn_gather = np.full(dv * n_pad, pad_cn_flat, np.int32)
+        vn_mask = np.zeros((dv, n_pad), np.float32)
+        cn_mask = np.zeros((dc, c_pad_s), np.float32)
+        edge_cn_byslot = np.full((dv, n_pad), c_local, np.int32)
+        edge_vn_byslot = np.full((dc, c_pad_s), n, np.int32)
+
         fill_v = np.zeros(n, np.int32)
-        cn_edge = np.full((c_max, d_c), e_max, np.int32)
-        cn_mask = np.zeros((c_max, d_c), np.float32)
-        # phantom edges point at flat slot 0 (garbage, never read back)
-        edge_cn_slot = np.zeros(e_max, np.int32)
-        fill_c = np.zeros(c_max, np.int32)
-        for le in range(el):
-            v = edge_vn[le]
-            vn_edge[v, fill_v[v]] = le
-            vn_mask[v, fill_v[v]] = 1.0
-            fill_v[v] += 1
-            c = edge_cn[le]
-            cn_edge[c, fill_c[c]] = le
-            cn_mask[c, fill_c[c]] = 1.0
-            edge_cn_slot[le] = c * d_c + fill_c[c]
-            fill_c[c] += 1
+        fill_c = np.zeros(c_local, np.int32)
+        for v, c in zip(evn, ecn):
+            sv = fill_v[v]
+            sc = fill_c[c]
+            vflat = sv * n_pad + v
+            cflat = sc * c_pad_s + c
+            cn_gather[cflat] = vflat
+            vn_gather[vflat] = cflat
+            vn_mask[sv, v] = 1.0
+            cn_mask[sc, c] = 1.0
+            edge_cn_byslot[sv, v] = c
+            edge_vn_byslot[sc, c] = v
+            fill_v[v] = sv + 1
+            fill_c[c] = sc + 1
 
+        cn_deg = np.zeros(c_pad_s, np.float32)
+        cn_deg[:c_local] = np.asarray(
+            graph.cn_deg[s:e] if hasattr(graph.cn_deg, "__getitem__") else 0
+        )
         shards.append(
             TannerGraph(
                 num_vn=n,
-                num_cn=c_max,
-                num_edges=e_max,
-                max_vn_deg=d_v,
-                max_cn_deg=d_c,
-                edge_vn=edge_vn,
-                edge_cn=edge_cn,
-                vn_edge=vn_edge,
+                num_cn=c_local,
+                n_pad=n_pad,
+                c_pad=c_pad_s,
+                num_edges=int(sel.sum()),
+                max_vn_deg=dv,
+                max_cn_deg=dc,
+                cn_gather=cn_gather,
+                vn_gather=vn_gather,
                 vn_mask=vn_mask,
-                vn_deg=graph.vn_deg,  # GLOBAL degrees (post-psum means)
-                cn_edge=cn_edge,
                 cn_mask=cn_mask,
-                cn_deg=np.pad(graph.cn_deg[s:e], (0, c_max - (e - s))),
-                edge_cn_slot=edge_cn_slot,
-                vn_uniform=False,
-                cn_uniform=False,
+                vn_deg=graph.vn_deg,  # GLOBAL degrees (post-psum means)
+                cn_deg=cn_deg,
+                edge_cn_byslot=edge_cn_byslot,
+                edge_vn_byslot=edge_vn_byslot,
+                edge_vn=np.pad(evn, (0, graph.num_edges - len(evn))),
+                edge_cn=np.pad(ecn, (0, graph.num_edges - len(ecn))),
             )
         )
-    return shards, bounds
+    # equalise aux fields across shards (static metadata must match for
+    # pytree stacking); the masks carry the true per-shard structure
+    shards = [
+        TannerGraph(
+            **{
+                **{f: getattr(g, f) for f in g.__dataclass_fields__},
+                "num_cn": shards[0].num_cn,
+                "num_edges": shards[0].num_edges,
+            }
+        )
+        for g in shards
+    ]
+    return shards, bounds, c_pad_s
 
 
-def _shard_rows(mat: np.ndarray, bounds, c_max: int):
-    """Partition PCM rows into equal zero-padded blocks [c_max, n]."""
+def _shard_rows(mat: np.ndarray, bounds, r_pad: int):
+    """Partition PCM rows into equal zero-padded blocks [r_pad, n_cols]."""
+    return [pad_rows(mat[s:e], r_pad) for s, e in bounds]
+
+
+def _shard_rowset(rs: RowSet, bounds, r_pad: int):
     out = []
     for s, e in bounds:
-        blk = np.zeros((c_max, mat.shape[1]), mat.dtype)
-        blk[: e - s] = mat[s:e]
-        out.append(blk)
-    return out
-
-
-def _shard_rowset(rs: RowSet, bounds, r_max: int):
-    out = []
-    for s, e in bounds:
-        vn_idx = np.full((r_max, rs.max_deg), rs.vn_idx.max(initial=0), np.int32)
-        # phantom rows: all-masked; sentinel index value is irrelevant
-        vn_idx[: e - s] = rs.vn_idx[s:e]
-        mask = np.zeros((r_max, rs.max_deg), np.float32)
-        mask[: e - s] = rs.mask[s:e]
-        row_valid = np.zeros((r_max,), np.float32)
-        row_valid[: e - s] = rs.row_valid[s:e] if rs.row_valid is not None else 1.0
+        vn_idx = np.full((rs.max_deg, r_pad), rs.vn_sentinel, np.int32)
+        mask = np.zeros((rs.max_deg, r_pad), np.float32)
+        row_valid = np.zeros(r_pad, np.float32)
+        vn_idx[:, : e - s] = rs.vn_idx[:, s:e]
+        mask[:, : e - s] = rs.mask[:, s:e]
+        row_valid[: e - s] = rs.row_valid[s:e]
         out.append(
             RowSet(
-                num_rows=r_max,
+                num_rows=e - s,
+                r_pad=r_pad,
                 max_deg=rs.max_deg,
                 vn_idx=vn_idx,
                 mask=mask,
-                uniform=False,
                 row_valid=row_valid,
+                vn_sentinel=rs.vn_sentinel,
             )
         )
+    # equalise aux
+    out = [
+        RowSet(
+            num_rows=out[0].num_rows,
+            r_pad=r.r_pad,
+            max_deg=r.max_deg,
+            vn_idx=r.vn_idx,
+            mask=r.mask,
+            row_valid=r.row_valid,
+            vn_sentinel=r.vn_sentinel,
+        )
+        for r in out
+    ]
     return out
 
 
@@ -147,44 +177,35 @@ def shard_quantum_graph(qg: QuantumGraph, num_shards: int) -> QuantumGraph:
     """Build the stacked sharded bundle: a QuantumGraph whose every array
     leaf has a leading ``num_shards`` axis.  Pass it through ``shard_map``
     with ``P('edge')`` on all leaves and call :func:`unstack_shard` inside.
-
-    The stage-mode invariant logit_rows_x == rows(hz), logit_rows_z ==
-    rows(hx) is preserved per shard: logit_rows_z uses gx's CN blocks and
-    logit_rows_x uses gz's, so the GNN's h_cn gathers stay shard-local.
     """
-    gx_shards, bx = _shard_tanner(qg.gx, num_shards)
-    gz_shards, bz = _shard_tanner(qg.gz, num_shards)
-    cx_max = gx_shards[0].num_cn
-    cz_max = gz_shards[0].num_cn
+    gx_shards, bx, cxp = _shard_tanner(qg.gx, num_shards)
+    gz_shards, bz, czp = _shard_tanner(qg.gz, num_shards)
 
-    hx_blocks = _shard_rows(qg.hx, bx, cx_max)
-    hz_blocks = _shard_rows(qg.hz, bz, cz_max)
+    hx_blocks = _shard_rows(np.asarray(qg.hx)[: qg.gx.num_cn], bx, cxp)
+    hz_blocks = _shard_rows(np.asarray(qg.hz)[: qg.gz.num_cn], bz, czp)
 
-    # logit rows: stage-mode alignment with decoder CN partitions when row
-    # counts match; otherwise (plain mode: hx_perp/hz_perp) an independent
-    # contiguous partition
-    if qg.logit_rows_x.num_rows == qg.gz.num_cn:
-        bounds_lx, rx_max = bz, cz_max
-    else:
-        bounds_lx = shard_bounds(qg.logit_rows_x.num_rows, num_shards)
-        rx_max = max(e - s for s, e in bounds_lx)
-    if qg.logit_rows_z.num_rows == qg.gx.num_cn:
-        bounds_lz, rz_max = bx, cx_max
-    else:
-        bounds_lz = shard_bounds(qg.logit_rows_z.num_rows, num_shards)
-        rz_max = max(e - s for s, e in bounds_lz)
-    lrx = _shard_rowset(qg.logit_rows_x, bounds_lx, rx_max)
-    lrz = _shard_rowset(qg.logit_rows_z, bounds_lz, rz_max)
+    # logit rows: stage-mode alignment with decoder CN partitions when true
+    # row counts match; otherwise an independent contiguous partition
+    def shard_logit_rows(rs: RowSet, decoder_bounds, decoder_pad, decoder_rows):
+        if rs.num_rows == decoder_rows:
+            return _shard_rowset(rs, decoder_bounds, decoder_pad)
+        b = shard_bounds(rs.num_rows, num_shards)
+        rp = _aligned(max(e - s for s, e in b))
+        return _shard_rowset(rs, b, rp)
+
+    lrx = shard_logit_rows(qg.logit_rows_x, bz, czp, qg.gz.num_cn)
+    lrz = shard_logit_rows(qg.logit_rows_z, bx, cxp, qg.gx.num_cn)
 
     # perp/logical matrices: independent row partitions (final accounting)
-    b_hxp = shard_bounds(qg.hx_perp.shape[0], num_shards)
-    b_hzp = shard_bounds(qg.hz_perp.shape[0], num_shards)
-    b_lxm = shard_bounds(qg.lx.shape[0], num_shards)
-    b_lzm = shard_bounds(qg.lz.shape[0], num_shards)
-    hxp = _shard_rows(qg.hx_perp, b_hxp, max(e - s for s, e in b_hxp))
-    hzp = _shard_rows(qg.hz_perp, b_hzp, max(e - s for s, e in b_hzp))
-    lxm = _shard_rows(qg.lx, b_lxm, max(1, max(e - s for s, e in b_lxm)))
-    lzm = _shard_rows(qg.lz, b_lzm, max(1, max(e - s for s, e in b_lzm)))
+    def shard_perp(mat, true_rows):
+        b = shard_bounds(true_rows, num_shards)
+        rp = _aligned(max(e - s for s, e in b))
+        return _shard_rows(np.asarray(mat)[:true_rows], b, rp), b
+
+    hxp, b_hxp = shard_perp(qg.hx_perp, qg.hx_perp_rows)
+    hzp, b_hzp = shard_perp(qg.hz_perp, qg.hz_perp_rows)
+    lxm, b_lxm = shard_perp(qg.lx, qg.lx_rows)
+    lzm, b_lzm = shard_perp(qg.lz, qg.lz_rows)
 
     per_shard = [
         QuantumGraph(
@@ -198,6 +219,10 @@ def shard_quantum_graph(qg: QuantumGraph, num_shards: int) -> QuantumGraph:
             hz_perp=hzp[i].astype(np.float32),
             lx=lxm[i].astype(np.float32),
             lz=lzm[i].astype(np.float32),
+            hx_perp_rows=b_hxp[0][1] - b_hxp[0][0],
+            hz_perp_rows=b_hzp[0][1] - b_hzp[0][0],
+            lx_rows=max(1, b_lxm[0][1] - b_lxm[0][0]),
+            lz_rows=max(1, b_lzm[0][1] - b_lzm[0][0]),
             logit_rows_x=lrx[i],
             logit_rows_z=lrz[i],
             name=f"{qg.name}@shard",

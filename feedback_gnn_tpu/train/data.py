@@ -37,9 +37,17 @@ __all__ = [
 ]
 
 
+def _pad_noise(graph, noise):
+    n, n_pad = graph.n, graph.n_pad
+    noise = noise.astype(jnp.int32)
+    if noise.shape[0] == n_pad:
+        return noise
+    return jnp.pad(noise, ((0, n_pad - n), (0, 0)))
+
+
 def _flagged_after(graph, x_hat, z_hat, noise_x, noise_z):
-    x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), x_hat)
-    z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), z_hat)
+    x_diff = jnp.bitwise_xor(_pad_noise(graph, noise_x), x_hat)
+    z_diff = jnp.bitwise_xor(_pad_noise(graph, noise_z), z_hat)
     sx = mod2_matmul(jnp.asarray(graph.hz), x_diff)
     sz = mod2_matmul(jnp.asarray(graph.hx), z_diff)
     return jnp.logical_or(jnp.any(sx != 0, axis=0), jnp.any(sz != 0, axis=0))
@@ -52,12 +60,14 @@ def make_bp_failure_miner(graph: QuantumGraph, num_iter=64, p0=0.05, cn_type="bo
     @partial(jax.jit, static_argnums=(1, 2))
     def miner(key, wt, batch):
         noise_x, noise_z = pauli_fixed_weight(key, wt, graph.n, batch)
+        noise_x = _pad_noise(graph, noise_x)
+        noise_z = _pad_noise(graph, noise_z)
         syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
         syndrome_z = mod2_matmul(jnp.asarray(graph.hz), noise_x)
-        llr0 = prior_llr(p0, graph.n, batch)
+        llr0 = prior_llr(p0, graph.n, batch, n_pad=graph.n_pad)
         res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type)
         flagged = _flagged_after(graph, res.x_hat, res.z_hat, noise_x, noise_z)
-        return noise_x, noise_z, flagged
+        return noise_x[: graph.n], noise_z[: graph.n], flagged
 
     return miner
 
@@ -76,9 +86,11 @@ def make_cascade_failure_miner(
     @partial(jax.jit, static_argnums=(1, 2))
     def miner(key, wt, batch):
         noise_x, noise_z = pauli_fixed_weight(key, wt, graph.n, batch)
+        noise_x = _pad_noise(graph, noise_x)
+        noise_z = _pad_noise(graph, noise_z)
         syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
         syndrome_z = mod2_matmul(jnp.asarray(graph.hz), noise_x)
-        llr0 = prior_llr(p0, graph.n, batch)
+        llr0 = prior_llr(p0, graph.n, batch, n_pad=graph.n_pad)
         res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter1, cn_type)
         h_vn = jnp.stack([res.llrx, res.llry, res.llrz], axis=0)
         new_llr = feedback_gnn_apply(
@@ -86,7 +98,7 @@ def make_cascade_failure_miner(
         )
         res2 = bp4_decode(graph, new_llr, syndrome_x, syndrome_z, num_iter2, cn_type)
         flagged = _flagged_after(graph, res2.x_hat, res2.z_hat, noise_x, noise_z)
-        return noise_x, noise_z, flagged
+        return noise_x[: graph.n], noise_z[: graph.n], flagged
 
     return miner
 

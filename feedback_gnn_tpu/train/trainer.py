@@ -52,6 +52,15 @@ def make_optimizer(cfg: TrainConfig):
     )
 
 
+def _pad_noise(graph, noise):
+    """[n, B] -> [n_pad, B] with zero pad rows (aligned-layout invariant)."""
+    n, n_pad = graph.n, graph.n_pad
+    noise = noise.astype(jnp.int32)
+    if noise.shape[0] == n_pad:
+        return noise
+    return jnp.pad(noise, ((0, n_pad - n), (0, 0)))
+
+
 def _syndromes(graph, noise_x, noise_z):
     hx = jnp.asarray(graph.hx)
     hz = jnp.asarray(graph.hz)
@@ -68,8 +77,10 @@ def stage_one_features(
     noise_x / noise_z: [n, B] {0,1}.  Returns (h_vn [3,n,B], logit_hx,
     logit_hz) with the semantic (per-Hx-row / per-Hz-row) naming.
     """
+    noise_x = _pad_noise(graph, noise_x)
+    noise_z = _pad_noise(graph, noise_z)
     syndrome_x, syndrome_z = _syndromes(graph, noise_x, noise_z)
-    llr0 = prior_llr(cfg.p0, graph.n, noise_x.shape[-1])
+    llr0 = prior_llr(cfg.p0, graph.n, noise_x.shape[-1], n_pad=graph.n_pad)
     res = bp4_decode(
         graph,
         llr0,
@@ -100,6 +111,8 @@ def stage_two_loss(
 
     Returns (loss, (s_hat, ls_hat)) where s_hat/ls_hat are the flagged /
     logical syndome tensors for monitoring (feedback_gnn.py:444-463)."""
+    noise_x = _pad_noise(graph, noise_x)
+    noise_z = _pad_noise(graph, noise_z)
     syndrome_x, syndrome_z = _syndromes(graph, noise_x, noise_z)
 
     new_llr = feedback_gnn_apply(

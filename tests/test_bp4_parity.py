@@ -82,20 +82,23 @@ def test_bp4_matches_reference(case):
         cn_type=str(d["cn_type"]),
         normalization_factor=float(d["factor"]),
     )
+    n = graph.n
+    rx = graph.logit_rows_x.num_rows
+    rz = graph.logit_rows_z.num_rows
 
-    assert_llr_parity(res.llrx, d["llrx"].T, strict, f"{case}:llrx")
-    assert_llr_parity(res.llry, d["llry"].T, strict, f"{case}:llry")
-    assert_llr_parity(res.llrz, d["llrz"].T, strict, f"{case}:llrz")
+    assert_llr_parity(res.llrx[:n], d["llrx"].T, strict, f"{case}:llrx")
+    assert_llr_parity(res.llry[:n], d["llry"].T, strict, f"{case}:llry")
+    assert_llr_parity(res.llrz[:n], d["llrz"].T, strict, f"{case}:llrz")
     # logits always go through phi (even for minsum decoding), so the
     # saturated-region staircase noise applies regardless of cn_type
     assert_llr_parity(
-        res.x_logit, d["x_logit"], False, f"{case}:x_logit", llr_mask_level=8.0, atol=2e-2
+        res.x_logit[:rx], d["x_logit"], False, f"{case}:x_logit", llr_mask_level=8.0, atol=2e-2
     )
     assert_llr_parity(
-        res.z_logit, d["z_logit"], False, f"{case}:z_logit", llr_mask_level=8.0, atol=2e-2
+        res.z_logit[:rz], d["z_logit"], False, f"{case}:z_logit", llr_mask_level=8.0, atol=2e-2
     )
-    x_match = np.mean(np.asarray(res.x_hat) == d["x_hat"].T)
-    z_match = np.mean(np.asarray(res.z_hat) == d["z_hat"].T)
+    x_match = np.mean(np.asarray(res.x_hat[:n]) == d["x_hat"].T)
+    z_match = np.mean(np.asarray(res.z_hat[:n]) == d["z_hat"].T)
     assert x_match > 0.999 and z_match > 0.999, (x_match, z_match)
 
 
@@ -124,13 +127,15 @@ def test_bp4_logit_stack_matches_reference():
         collect_logits=True,
     )
     xs, zs = res.logit_stack
+    rx = graph.logit_rows_x.num_rows
+    rz = graph.logit_rows_z.num_rows
     ref = d["llr_hat"]  # [2*num_iter+2, R, B]
     for it in range(num_iter + 1):
         assert_llr_parity(
-            xs[it], ref[2 * it], False, f"x it={it}", llr_mask_level=8.0, atol=2e-2
+            xs[it][:rx], ref[2 * it], False, f"x it={it}", llr_mask_level=8.0, atol=2e-2
         )
         assert_llr_parity(
-            zs[it], ref[2 * it + 1], False, f"z it={it}", llr_mask_level=8.0, atol=2e-2
+            zs[it][:rz], ref[2 * it + 1], False, f"z it={it}", llr_mask_level=8.0, atol=2e-2
         )
 
 
@@ -152,6 +157,7 @@ def test_bp2_matches_reference():
             normalization_factor=float(d["factor"]),
         )
         strict = str(d["cn_type"]) == "minsum"
+        n = graph.num_vn
         assert_llr_parity(
-            res.logits, d["logits"].T, strict, case, llr_mask_level=10.0, atol=1e-2
+            res.logits[:n], d["logits"].T, strict, case, llr_mask_level=10.0, atol=1e-2
         )

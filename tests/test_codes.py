@@ -92,42 +92,54 @@ def test_cyclic_permuting_matrix():
 
 
 def test_graph_layout_roundtrip(small_code):
+    """The aligned slot-major tables must encode exactly the PCM's edges and
+    the two flat gathers must be mutual inverses on real slots."""
     g = build_graph(small_code.hx)
     pcm = np.asarray(small_code.hx)
     assert g.num_edges == int(pcm.sum())
-    # edge endpoints reconstruct the pcm
+    assert g.n_pad % 8 == 0 and g.c_pad % 8 == 0
+    assert g.n_pad > g.num_vn and g.c_pad > g.num_cn
+    # edge endpoints reconstruct the pcm (debug views, VN-major)
     rebuilt = np.zeros_like(pcm)
     rebuilt[g.edge_cn, g.edge_vn] = 1
     assert np.array_equal(rebuilt, pcm)
-    # VN-major ordering
     assert (np.diff(g.edge_vn) >= 0).all()
-    # vn_edge / cn_edge tables consistent with endpoints
-    for v in range(g.num_vn):
-        edges = g.vn_edge[v][g.vn_mask[v] > 0]
-        assert set(g.edge_vn[edges]) == {v} if len(edges) else True
-    for c in range(g.num_cn):
-        edges = g.cn_edge[c][g.cn_mask[c] > 0]
-        assert set(g.edge_cn[edges]) <= {c}
-    # inverse permutation: edge_cn_slot maps back to the same edge
-    flat = np.full(g.num_cn * g.max_cn_deg, g.num_edges, dtype=np.int64)
-    for c in range(g.num_cn):
-        for s in range(g.max_cn_deg):
-            if g.cn_mask[c, s] > 0:
-                flat[c * g.max_cn_deg + s] = g.cn_edge[c, s]
-    assert np.array_equal(flat[g.edge_cn_slot], np.arange(g.num_edges))
+    # masks count true degrees
+    assert np.array_equal(g.vn_mask.sum(axis=0)[: g.num_vn], pcm.sum(axis=0))
+    assert np.array_equal(g.cn_mask.sum(axis=0)[: g.num_cn], pcm.sum(axis=1))
+    # vn_gather and cn_gather are mutual inverses on real slots, and
+    # together they encode the pcm edges
+    edges_seen = set()
+    for sc in range(g.max_cn_deg):
+        for c in range(g.c_pad):
+            if g.cn_mask[sc, c] > 0:
+                vflat = g.cn_gather[sc * g.c_pad + c]
+                sv, v = divmod(int(vflat), g.n_pad)
+                assert g.vn_mask[sv, v] > 0
+                assert g.vn_gather[vflat] == sc * g.c_pad + c
+                assert g.edge_cn_byslot[sv, v] == c
+                assert g.edge_vn_byslot[sc, c] == v
+                edges_seen.add((c, v))
+    assert edges_seen == set(zip(map(int, g.edge_cn), map(int, g.edge_vn)))
+    # pad entries point at pad rows (zero-invariant targets)
+    assert (g.cn_gather[g.cn_mask.ravel() == 0] % g.n_pad >= g.num_vn).all()
+    assert (g.vn_gather[g.vn_mask.ravel() == 0] % g.c_pad >= g.num_cn).all()
 
 
-def test_graph_biregular_uniform(ghp882):
+def test_graph_biregular(ghp882):
     g = build_graph(ghp882.hx)
-    assert g.vn_uniform and g.cn_uniform
     assert g.max_vn_deg == 3 and g.max_cn_deg == 6
     assert g.num_edges == 2646
+    assert g.n_pad == 888 and g.c_pad == 448
 
 
 def test_rowset(small_code):
     rs = build_rowset(small_code.hx_perp)
     pcm = np.asarray(small_code.hx_perp)
     assert rs.num_rows == pcm.shape[0]
+    assert rs.r_pad % 8 == 0 and rs.r_pad > rs.num_rows
     for r in range(rs.num_rows):
-        cols = rs.vn_idx[r][rs.mask[r] > 0]
+        cols = rs.vn_idx[:, r][rs.mask[:, r] > 0]
         assert set(cols) == set(np.nonzero(pcm[r])[0])
+    assert (rs.row_valid[: rs.num_rows] == 1).all()
+    assert (rs.row_valid[rs.num_rows :] == 0).all()

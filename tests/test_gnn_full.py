@@ -29,17 +29,18 @@ def test_gnn_bp4_forward(setup):
 
     graph, cfg, params, lrowsets = setup
     b = 8
-    mx = graph.hx.shape[0]
-    mz = graph.hz.shape[0]
+    mx = graph.gx.num_cn
+    mz = graph.gz.num_cn
     sx = jnp.zeros((mx, b))
     sz = jnp.zeros((mz, b))
     x_hat, z_hat, stack = jax.jit(
         lambda p, sx, sz: gnn_bp4_apply(p, graph, lrowsets, sx, sz, cfg, True)
     )(params, sx, sz)
-    assert x_hat.shape == (graph.n, b)
+    assert x_hat.shape == (graph.n_pad, b)
     assert len(stack) == cfg.num_iter
     xp, zp = stack[0]
-    assert xp.shape[0] == mz + graph.lz.shape[0]
+    # x_perp rows = aligned(hz rows) + aligned(lz rows)
+    assert xp.shape[0] == lrowsets[1].r_pad + lrowsets[3].r_pad
     assert np.isfinite(np.asarray(xp)).all()
 
 

@@ -48,15 +48,25 @@ def test_bp4_edge_sharded_equivalence(setup):
     from feedback_gnn_tpu.parallel.shard import shard_bounds
 
     graph, _, _ = setup
-    n, b = graph.n, 16
+    n, n_pad, b = graph.n, graph.n_pad, 16
     key = jax.random.PRNGKey(0)
-    noise_x = jax.random.bernoulli(key, 0.05, (n, b))
-    noise_z = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.05, (n, b))
+    noise_x = jnp.pad(
+        jax.random.bernoulli(key, 0.05, (n, b)).astype(jnp.int32),
+        ((0, n_pad - n), (0, 0)),
+    )
+    noise_z = jnp.pad(
+        jax.random.bernoulli(jax.random.fold_in(key, 1), 0.05, (n, b)).astype(
+            jnp.int32
+        ),
+        ((0, n_pad - n), (0, 0)),
+    )
     from feedback_gnn_tpu.ops import mod2_matmul
 
-    sx = mod2_matmul(jnp.asarray(graph.hx), noise_z)
+    sx = mod2_matmul(jnp.asarray(graph.hx), noise_z)  # [cx_pad, B]
     sz = mod2_matmul(jnp.asarray(graph.hz), noise_x)
-    llr0 = jnp.full((3, n, b), 3.85, jnp.float32)
+    llr0 = jnp.pad(
+        jnp.full((3, n, b), 3.85, jnp.float32), ((0, 0), (0, n_pad - n), (0, 0))
+    )
 
     ref = bp4_decode(graph, llr0, sx, sz, num_iter=6)
 
@@ -66,7 +76,7 @@ def test_bp4_edge_sharded_equivalence(setup):
     bz = shard_bounds(graph.gz.num_cn, 4)
     cx_max = stacked.hx.shape[1]
     cz_max = stacked.hz.shape[1]
-    # build per-shard syndromes [S, c_max, B]
+    # build per-shard syndromes [S, c_pad_s, B]
     sx_sh = np.zeros((4, cx_max, b), np.float32)
     sz_sh = np.zeros((4, cz_max, b), np.float32)
     for i, ((s0, e0), (s1, e1)) in enumerate(zip(bx, bz)):
@@ -193,7 +203,7 @@ def test_stage_two_grad_edge_sharded_exact(setup):
         jnp.float32
     )
     h_vn = jax.random.normal(key, (3, n, b)) * 2
-    mx, mz = graph.hx.shape[0], graph.hz.shape[0]
+    mx, mz = graph.gx.num_cn, graph.gz.num_cn
     lhx = jax.random.normal(jax.random.fold_in(key, 2), (mx, b))
     lhz = jax.random.normal(jax.random.fold_in(key, 3), (mz, b))
 
