@@ -33,6 +33,9 @@ __all__ = ["BP2Result", "bp2_decode"]
 class BP2Result(NamedTuple):
     logits: jnp.ndarray  # [n_pad, B] marginal logits (pad rows 0)
     hard: jnp.ndarray  # [n_pad, B] int32 hard decisions (pad rows 0)
+    # EXIT trajectories [num_iter+1] (slot 0 = 0), only when track_exit=True
+    ie_v: jnp.ndarray | None = None
+    ie_c: jnp.ndarray | None = None
 
 
 def _pad_rows_to(x, rows):
@@ -52,13 +55,23 @@ def bp2_decode(
     cn_type: str = "boxplus-phi",
     normalization_factor: float = 1.0,
     axis_name: str | None = None,
+    edge_weights=None,
+    track_exit: bool = False,
 ) -> BP2Result:
     """Run ``num_iter`` binary syndrome-BP iterations.
 
     Args:
       llr_ch: [n(,pad), B] channel logits (positive = bit 1 likely).
       syndrome: [num_cn(,pad), B] in {0, 1}.
+      edge_weights: optional [dv, n_pad] per-edge weights multiplied onto
+        outgoing VN messages — weighted BP (decoding.py:360-366, 852-858);
+        initialise to ones and train through this argument.
+      track_exit: record the EXIT decoding trajectory — the Hagenauer MI
+        approximation of the VN- and CN-phase messages per iteration
+        (decoding.py:955-1000; assumes all-zero-codeword symmetry).
     """
+    from ..sim.metrics import llr2mi
+
     cn_update = CN_UPDATES[cn_type]
     b = llr_ch.shape[-1]
 
@@ -66,21 +79,35 @@ def bp2_decode(
     llr = -_pad_rows_to(llr, graph.n_pad)  # logits -> "true" llrs (decoding.py:940)
     syn_pm = 1.0 - 2.0 * _pad_rows_to(syndrome.astype(jnp.float32), graph.c_pad)
     cn_mask = jnp.asarray(graph.cn_mask)
+    vn_mask = jnp.asarray(graph.vn_mask)
+    if edge_weights is not None:
+        edge_weights = jnp.asarray(edge_weights, jnp.float32)[:, :, None]
 
     def step(msg, _):
         # extrinsic VN update
         total = vn_sum(msg, graph, axis_name) + llr  # [n_pad, B]
         msg_v = expand_vn(total, graph) - msg  # [dv, n_pad, B]
+        mi_v = llr2mi(-msg_v, weight=vn_mask[:, :, None]) if track_exit else None
+        if edge_weights is not None:  # weighted BP (decoding.py:852-858)
+            msg_v = msg_v * edge_weights
         # CN update with syndrome sign
         mc = gather_to_cn(msg_v, graph)
         mc = cn_update(mc, syn_pm, cn_mask) * normalization_factor
-        return scatter_from_cn(mc, graph), None
+        mi_c = llr2mi(-mc, weight=cn_mask[:, :, None]) if track_exit else None
+        ys = (mi_v, mi_c) if track_exit else None
+        return scatter_from_cn(mc, graph), ys
 
     vma_seed = 0.0 * (jnp.sum(llr) + jnp.sum(syn_pm))
     msg0 = jnp.zeros((graph.max_vn_deg, graph.n_pad, b), jnp.float32) + vma_seed
-    msg, _ = jax.lax.scan(step, msg0, None, length=num_iter)
+    msg, traj = jax.lax.scan(step, msg0, None, length=num_iter)
 
     marg = llr + vn_sum(msg, graph, axis_name)
     logits = -marg  # back to logit convention (decoding.py:1031)
     hard = (logits > 0.0).astype(jnp.int32)
-    return BP2Result(logits, hard)
+    ie_v = ie_c = None
+    if track_exit:
+        # reference stores iteration it at slot it (1-based), slot 0 stays 0
+        zero = jnp.zeros((1,), jnp.float32)
+        ie_v = jnp.concatenate([zero, traj[0]])
+        ie_c = jnp.concatenate([zero, traj[1]])
+    return BP2Result(logits, hard, ie_v, ie_c)

@@ -11,6 +11,7 @@ __all__ = [
     "compute_ber",
     "compute_bler",
     "hard_decisions",
+    "llr2mi",
 ]
 
 
@@ -36,3 +37,24 @@ def compute_ber(b, b_hat):
 def compute_bler(b, b_hat, axis=-1):
     block = jnp.any(b != b_hat, axis=axis)
     return jnp.mean(block.astype(jnp.float64))
+
+
+def llr2mi(llr, s=None, weight=None):
+    """Hagenauer mutual-information approximation from LLRs
+    (reference: sionna/fec/utils.py:151-222):
+
+        I ~ 1 - mean(log2(1 + exp(llr_zero))),  llr_zero clipped to +-20,
+
+    where ``llr_zero = s * llr`` scrambles signs as if the all-zero codeword
+    was sent.  ``weight`` (optional, same shape, {0,1}) restricts the mean to
+    valid entries — used for padded edge layouts where the reference's
+    ragged flat_values only contain true edges."""
+    llr = jnp.asarray(llr, jnp.float32)
+    if s is not None:
+        llr = llr * s
+    llr = jnp.clip(llr, -20.0, 20.0)
+    x = jnp.log(1.0 + jnp.exp(llr)) / jnp.log(2.0)
+    if weight is None:
+        return 1.0 - jnp.mean(x)
+    w = jnp.broadcast_to(jnp.asarray(weight, jnp.float32), x.shape)
+    return 1.0 - jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
