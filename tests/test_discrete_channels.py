@@ -61,10 +61,11 @@ def test_dmc_llr_output_values():
     pb0, pb1 = 0.1, 0.2
     y = binary_memoryless_channel(kc, x, (pb0, pb1), return_llrs=True)
     eps = 1e-9
-    y1 = np.log(1 - pb1 - eps) - np.log(pb0 + eps)
-    y0 = -(np.log(pb1 + eps) - np.log(1 - pb0 - eps))
-    vals = set(np.round(np.unique(np.asarray(y)), 5).tolist())
-    assert vals <= {round(float(y1), 5), round(float(-y0), 5)}
+    y1 = np.log(1 - pb1 - eps) - np.log(pb0 + eps)  # value where y=+1
+    y0 = -(np.log(pb1 + eps) - np.log(1 - pb0 - eps))  # magnitude where y=-1
+    vals = np.unique(np.asarray(y))
+    expected = np.array(sorted([-y0, y1]))
+    np.testing.assert_allclose(vals, expected, rtol=1e-5)
 
 
 def test_bsc_llr_gradient_flows_to_p():
