@@ -1,0 +1,157 @@
+"""Fused QC BP4 kernel vs the XLA gather path (golden equivalence).
+
+The Pallas kernel (decoders/bp4_qc.py, interpret mode on CPU here) must
+produce the same marginals as bp4_decode for block-circulant codes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feedback_gnn_tpu.channels import depolarizing_probs, pauli_iid
+from feedback_gnn_tpu.codes.css import (
+    create_generalized_bicycle_codes,
+    create_QC_GHP_codes,
+    create_cyclic_permuting_matrix,
+)
+from feedback_gnn_tpu.codes.graph import QuantumGraph
+from feedback_gnn_tpu.codes.qc import detect_qc_structure, qc_pair_from_code
+from feedback_gnn_tpu.decoders.bp4 import bp4_decode
+from feedback_gnn_tpu.decoders.bp4_qc import bp4_qc_marginals
+
+
+@pytest.fixture(scope="module")
+def gb48():
+    # small GB code: l=24, hx=[A,B] (codes_q.py:92)
+    return create_generalized_bicycle_codes(24, [0, 2, 8, 15], [0, 2, 12, 17])
+
+
+def test_detect_qc_structure_gb(gb48):
+    spec = detect_qc_structure(np.asarray(gb48.hx), 24)
+    assert spec is not None
+    assert spec.mb == 1 and spec.nb == 2 and spec.num_groups == 8
+    assert spec.num_edges == int(np.asarray(gb48.hx).sum())
+    # reconstruct the pcm from groups
+    recon = np.zeros((24, 48), int)
+    for i, j, s in spec.groups:
+        for c in range(24):
+            recon[i * 24 + (c + s) % 24, j * 24 + c] = 1
+    np.testing.assert_array_equal(recon, np.asarray(gb48.hx))
+
+
+def test_detect_qc_structure_rejects_non_qc():
+    rng = np.random.default_rng(0)
+    pcm = (rng.random((24, 48)) < 0.2).astype(int)
+    assert detect_qc_structure(pcm, 24) is None
+
+
+def test_qc_pair_ghp_small():
+    code = create_QC_GHP_codes(7, create_cyclic_permuting_matrix(3, [2, 4, 0]), [0, 1, 3])
+    qc = qc_pair_from_code(code)
+    assert qc is not None
+    assert qc.l == 7
+    assert qc.qx.num_edges == int(np.asarray(code.hx).sum())
+    assert qc.qz.num_edges == int(np.asarray(code.hz).sum())
+
+
+@pytest.mark.parametrize("cn_type", ["boxplus-phi", "minsum", "boxplus"])
+def test_qc_kernel_matches_xla_path(gb48, cn_type):
+    """Pointwise marginal agreement on non-degenerate inputs.
+
+    NOTE: with exactly-uniform channel priors BP sits on decision-boundary
+    ties where the kernel's phi = -log(tanh(x/2)) and the XLA path's
+    expm1-based phi (~1e-7 apart) can chaotically diverge for rare
+    samples; realistic-prior equivalence is covered statistically below."""
+    code = gb48
+    qc = qc_pair_from_code(code, l=24)
+    assert qc is not None
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+
+    b = 32
+    rng = np.random.default_rng(1)
+    llr_ch = jnp.asarray(rng.standard_normal((3, code.N, b)) * 2.0, jnp.float32)
+    syn_x = jnp.asarray(rng.integers(0, 2, (code.hx.shape[0], b)), jnp.float32)
+    syn_z = jnp.asarray(rng.integers(0, 2, (code.hz.shape[0], b)), jnp.float32)
+
+    ref = bp4_decode(
+        graph, llr_ch, syn_x, syn_z, num_iter=8, cn_type=cn_type, normalization_factor=0.9
+    )
+    llrx, llry, llrz = bp4_qc_marginals(
+        qc,
+        llr_ch,
+        syn_x,
+        syn_z,
+        num_iter=8,
+        cn_type=cn_type,
+        normalization_factor=0.9,
+        batch_tile=32,
+        interpret=True,
+    )
+
+    n = code.N
+    np.testing.assert_allclose(llrx, ref.llrx[:n], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(llry, ref.llry[:n], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(llrz, ref.llrz[:n], rtol=2e-3, atol=2e-3)
+
+
+def test_qc_kernel_realistic_decode_statistics(gb48):
+    """Realistic decode (uniform depolarizing prior): hard decisions must
+    agree on essentially all qubits; the rare disagreements are tie-bound
+    samples (see note above)."""
+    code = gb48
+    qc = qc_pair_from_code(code, l=24)
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+
+    b = 256
+    key = jax.random.PRNGKey(0)
+    p = 0.08
+    px, py, pz = depolarizing_probs(p)
+    noise_x, noise_z = pauli_iid(key, px, py, pz, code.N, b)
+    hx = jnp.asarray(np.asarray(code.hx, np.float32))
+    hz = jnp.asarray(np.asarray(code.hz, np.float32))
+    syn_x = jnp.mod(hx @ noise_z.astype(jnp.float32), 2.0)
+    syn_z = jnp.mod(hz @ noise_x.astype(jnp.float32), 2.0)
+
+    p0 = float(p)
+    lx = np.log((1.0 - p0) / (p0 * 2.0 / 3.0))
+    ly = np.log((1.0 - p0) / (p0 / 3.0))
+    llr_ch = jnp.asarray(
+        np.stack(
+            [
+                np.full((code.N, b), lx, np.float32),
+                np.full((code.N, b), ly, np.float32),
+                np.full((code.N, b), lx, np.float32),
+            ]
+        )
+    )
+
+    ref = bp4_decode(graph, llr_ch, syn_x, syn_z, num_iter=16)
+    llrx, llry, llrz = bp4_qc_marginals(
+        qc, llr_ch, syn_x, syn_z, num_iter=16, batch_tile=64, interpret=True
+    )
+    from feedback_gnn_tpu.decoders.bp4 import hard_decision
+
+    xh, zh = hard_decision(llrx, llry, llrz)
+    n = code.N
+    agree = np.mean(
+        np.logical_and(
+            np.asarray(xh) == np.asarray(ref.x_hat[:n]),
+            np.asarray(zh) == np.asarray(ref.z_hat[:n]),
+        )
+    )
+    assert agree > 0.999, agree
+
+
+def test_qc_kernel_batch_padding(gb48):
+    """Non-multiple batch sizes are padded and sliced back."""
+    code = gb48
+    qc = qc_pair_from_code(code, l=24)
+    b = 19
+    llr_ch = jnp.ones((3, code.N, b)) * 2.0
+    syn_x = jnp.zeros((code.hx.shape[0], b))
+    syn_z = jnp.zeros((code.hz.shape[0], b))
+    llrx, llry, llrz = bp4_qc_marginals(
+        qc, llr_ch, syn_x, syn_z, num_iter=4, batch_tile=16, interpret=True
+    )
+    assert llrx.shape == (code.N, b)
+    assert np.isfinite(np.asarray(llrx)).all()
