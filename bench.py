@@ -24,17 +24,20 @@ def build_graph_cached():
     import pickle
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, "n1270_graph.pkl")
+    path = os.path.join(CACHE, "n1270_graph_qc.pkl")
     if os.path.exists(path):
         with open(path, "rb") as f:
             return pickle.load(f)
     from feedback_gnn_tpu.codes import ghp_1270_28
     from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.codes.qc import qc_pair_from_code
 
-    graph = QuantumGraph.from_code(ghp_1270_28(), stage_mode=True)
+    code = ghp_1270_28()
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    qc = qc_pair_from_code(code)
     with open(path, "wb") as f:
-        pickle.dump(graph, f)
-    return graph
+        pickle.dump((graph, qc), f)
+    return graph, qc
 
 
 def main():
@@ -52,7 +55,9 @@ def main():
     p = float(os.environ.get("BENCH_P", 0.05))
     n_timed = int(os.environ.get("BENCH_ITERS", 5))
 
-    graph = build_graph_cached()
+    graph, qc = build_graph_cached()
+    if os.environ.get("BENCH_NO_QC"):
+        qc = None  # force the XLA gather path (A/B comparisons)
     wpath = (
         "/root/reference/sionna/fec/ldpc/weights/"
         "feedback_GNN_n1270_k28_wt_10_80_iter_64_16_mixed.npy"
@@ -66,7 +71,7 @@ def main():
 
     @jax.jit
     def step(key, p):
-        return sandwich_eval_step(graph, [params], cfg, key, p, batch)
+        return sandwich_eval_step(graph, [params], cfg, key, p, batch, qc=qc)
 
     key = jax.random.PRNGKey(0)
     # warmup / compile

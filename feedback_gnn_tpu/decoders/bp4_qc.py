@@ -244,7 +244,7 @@ def bp4_qc_marginals(
     cn_type: str = "boxplus-phi",
     normalization_factor: float = 1.0,
     batch_tile: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Run the fused QC BP4 kernel.
 
@@ -253,7 +253,12 @@ def bp4_qc_marginals(
       syndrome_x / syndrome_z: [mx, B] / [mz, B] in {0,1}.
     Returns (llrx, llry, llrz), each [n, B] — the same marginals as
     ``bp4_decode``'s result sliced to true shapes.
+
+    ``interpret`` defaults to auto: Pallas interpreter on CPU backends
+    (tests / virtual meshes), compiled Mosaic on TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     l, nb = qc.l, qc.qx.nb
     l_pad = _pad_l(l)
     mbx, mbz = qc.qx.mb, qc.qz.mb
@@ -303,3 +308,47 @@ def bp4_qc_marginals(
 
     out = out[:, :, :l, :].reshape(3, nb * l, b_pad)[:, :, :b]
     return out[0], out[1], out[2]
+
+
+def bp4_decode_qc(
+    graph,
+    qc: QCPair,
+    llr_ch,
+    syndrome_x,
+    syndrome_z,
+    num_iter: int,
+    cn_type: str = "boxplus-phi",
+    normalization_factor: float = 1.0,
+    batch_tile: int = 128,
+    interpret: bool | None = None,
+):
+    """Drop-in replacement for ``bp4.bp4_decode`` (eval mode, no logit
+    stack) backed by the fused kernel.  Accepts the cascade's padded
+    layouts ([3, n_pad, B] LLRs, [c_pad, B] syndromes) and returns a
+    ``BP4Result`` with identical padded shapes, so ``sandwich_decode``
+    can switch backends transparently."""
+    from .bp4 import BP4Result, _cal_logit, hard_decision
+
+    n = qc.n
+    l = qc.l
+    mx, mz = qc.qx.mb * l, qc.qz.mb * l
+    llrx, llry, llrz = bp4_qc_marginals(
+        qc,
+        llr_ch[:, :n, :],
+        syndrome_x[:mx],
+        syndrome_z[:mz],
+        num_iter,
+        cn_type=cn_type,
+        normalization_factor=normalization_factor,
+        batch_tile=batch_tile,
+        interpret=interpret,
+    )
+    n_pad = graph.n_pad
+    b = llrx.shape[-1]
+    pad = [(0, n_pad - n), (0, 0)]
+    llrx = jnp.pad(llrx, pad)
+    llry = jnp.pad(llry, pad)
+    llrz = jnp.pad(llrz, pad)
+    x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph)
+    x_hat, z_hat = hard_decision(llrx, llry, llrz)
+    return BP4Result(llrx, llry, llrz, x_hat, z_hat, x_logit, z_logit, None)

@@ -70,26 +70,46 @@ def sandwich_decode(
     gt_sx,
     gt_sz,
     axis_name: str | None = None,
+    qc=None,
 ):
     """Decode given syndromes.  ``gt_sx``/``gt_sz`` are the target syndromes
     the estimate must reproduce (for the still-flagged tracking,
     feedback_gnn.py:315-331; they equal syndrome_x/syndrome_z in evaluation).
+
+    ``qc`` (a codes.qc.QCPair) switches the BP runs onto the fused Pallas
+    kernel (decoders/bp4_qc.py) — only valid un-sharded (axis_name None).
 
     Returns (x_hat, z_hat) int32 [n, B].
     """
     hz = jnp.asarray(graph.hz)
     hx = jnp.asarray(graph.hx)
 
-    res = bp4_decode(
-        graph,
-        llr0,
-        syndrome_x,
-        syndrome_z,
-        cfg.num_iter1,
-        cfg.cn_type,
-        cfg.factor1,
-        axis_name=axis_name,
-    )
+    if qc is not None:
+        from .bp4_qc import bp4_decode_qc, qc_supported
+
+        assert axis_name is None, "QC kernel path is single-shard"
+        assert qc_supported(cfg.cn_type), cfg.cn_type
+
+        def run_bp(llr, num_iter, factor):
+            return bp4_decode_qc(
+                graph, qc, llr, syndrome_x, syndrome_z, num_iter, cfg.cn_type, factor
+            )
+
+    else:
+
+        def run_bp(llr, num_iter, factor):
+            return bp4_decode(
+                graph,
+                llr,
+                syndrome_x,
+                syndrome_z,
+                num_iter,
+                cfg.cn_type,
+                factor,
+                axis_name=axis_name,
+            )
+
+    res = run_bp(llr0, cfg.num_iter1, cfg.factor1)
     x_hat, z_hat = res.x_hat, res.z_hat
     # gt comparison tensors [mz+mx, B] (order: [Hz rows; Hx rows], matching
     # gt = [gt_x; gt_z] = [Hz.nx; Hx.nz] at feedback_gnn.py:315-319)
@@ -120,16 +140,7 @@ def sandwich_decode(
             syndrome_z,
             axis_name=axis_name,
         )
-        res = bp4_decode(
-            graph,
-            new_llr,
-            syndrome_x,
-            syndrome_z,
-            cfg.num_iter2,
-            cfg.cn_type,
-            cfg.factor2,
-            axis_name=axis_name,
-        )
+        res = run_bp(new_llr, cfg.num_iter2, cfg.factor2)
         # masked update: only still-flagged samples adopt the new estimate
         x_hat = jnp.where(errors[None, :], res.x_hat, x_hat)
         z_hat = jnp.where(errors[None, :], res.z_hat, z_hat)
@@ -148,6 +159,7 @@ def sandwich_eval_step(
     axis_name: str | None = None,
     data_axis: str | None = None,
     return_full: bool = False,
+    qc=None,
 ):
     """Full Monte-Carlo evaluation step: sample channel, compute syndromes,
     run the cascade, return error accounting.
@@ -195,6 +207,7 @@ def sandwich_eval_step(
         gt_sx,
         gt_sz,
         axis_name=axis_name,
+        qc=qc,
     )
 
     # residuals and final accounting (feedback_gnn.py:343-361)

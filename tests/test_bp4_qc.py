@@ -155,3 +155,25 @@ def test_qc_kernel_batch_padding(gb48):
     )
     assert llrx.shape == (code.N, b)
     assert np.isfinite(np.asarray(llrx)).all()
+
+
+def test_cascade_with_qc_backend_matches_xla(gb48):
+    """sandwich_eval_step with the QC kernel backend agrees with the XLA
+    backend (same key -> same channel; rare tie-bound samples may differ)."""
+    import jax
+
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn
+    from feedback_gnn_tpu.decoders.cascade import sandwich_eval_step
+
+    code = gb48
+    qc = qc_pair_from_code(code, l=24)
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(1))
+    cfg = CascadeConfig(num_iter1=8, num_iter2=4, num_rounds=2, p0=0.08)
+
+    key = jax.random.PRNGKey(7)
+    b = 128
+    f_x, l_x = sandwich_eval_step(graph, [params], cfg, key, 0.08, b)
+    f_q, l_q = sandwich_eval_step(graph, [params], cfg, key, 0.08, b, qc=qc)
+    assert abs(int(f_x) - int(f_q)) <= 2, (int(f_x), int(f_q))
+    assert abs(int(l_x) - int(l_q)) <= 2, (int(l_x), int(l_q))
