@@ -51,7 +51,7 @@ def main():
     from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn, sandwich_eval_step
     from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
 
-    batch = int(os.environ.get("BENCH_BATCH", 10000))
+    batch = int(os.environ.get("BENCH_BATCH", 20480))
     p = float(os.environ.get("BENCH_P", 0.05))
     n_timed = int(os.environ.get("BENCH_ITERS", 5))
 
@@ -67,7 +67,8 @@ def main():
     else:  # pragma: no cover
         params = init_feedback_gnn(jax.random.PRNGKey(0))
 
-    cfg = CascadeConfig(num_iter1=64, num_iter2=16, num_rounds=5, p0=0.05)
+    cfg = CascadeConfig(num_iter1=64, num_iter2=16, num_rounds=5, p0=0.05,
+                        qc_batch_tile=int(os.environ.get("QC_TILE", 128)))
 
     @jax.jit
     def step(key, p):

@@ -47,6 +47,7 @@ class CascadeConfig:
     cn_type: str = "boxplus-phi"
     num_rounds: int = 3  # nG
     p0: float = 0.05  # prior used for the uniform llr init
+    qc_batch_tile: int = 128  # Pallas kernel batch tile (QC backend only)
 
 
 def prior_llr(p0, n, batch, n_pad=None):
@@ -92,7 +93,8 @@ def sandwich_decode(
 
         def run_bp(llr, num_iter, factor):
             return bp4_decode_qc(
-                graph, qc, llr, syndrome_x, syndrome_z, num_iter, cfg.cn_type, factor
+                graph, qc, llr, syndrome_x, syndrome_z, num_iter, cfg.cn_type,
+                factor, batch_tile=cfg.qc_batch_tile,
             )
 
     else:

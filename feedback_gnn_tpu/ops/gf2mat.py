@@ -22,12 +22,15 @@ def int_mod_2(x):
 def mod2_matmul(h, v):
     """``(h @ v) mod 2`` with ``h`` a [m, n] 0/1 matrix and ``v`` [n, B].
 
-    Returns int32 in {0,1}.  Inner products are at most n < 2^24 so the f32
-    MXU path is exact.
+    Returns int32 in {0,1}.  EXACT on the MXU with bf16 inputs: 0/1 operands
+    are exactly representable, every product is 0/1, and accumulation is
+    forced to f32 (``preferred_element_type``), so sums stay integer-exact
+    up to 2^24 — while bf16 operand feeds run the MXU at full rate (f32
+    matmuls are emulated by multi-pass bf16 on v5e).
     """
     prod = jnp.dot(
-        h.astype(jnp.float32),
-        v.astype(jnp.float32),
+        h.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     return int_mod_2(prod)
