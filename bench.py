@@ -67,8 +67,16 @@ def main():
     else:  # pragma: no cover
         params = init_feedback_gnn(jax.random.PRNGKey(0))
 
-    cfg = CascadeConfig(num_iter1=64, num_iter2=16, num_rounds=5, p0=0.05,
-                        qc_batch_tile=int(os.environ.get("QC_TILE", 128)))
+    cfg = CascadeConfig(
+        num_iter1=64,
+        num_iter2=16,
+        num_rounds=5,
+        p0=0.05,
+        qc_batch_tile=int(os.environ.get("QC_TILE", 128)),
+        # stage-1 flagged rate at p=0.05 is ~2.8 %; 1/16 capacity gives a
+        # >2x margin (overflowing samples would keep their stage-1 estimate)
+        compact_fraction=float(os.environ.get("BENCH_COMPACT", 1 / 16)),
+    )
 
     @jax.jit
     def step(key, p):

@@ -177,3 +177,49 @@ def test_cascade_with_qc_backend_matches_xla(gb48):
     f_q, l_q = sandwich_eval_step(graph, [params], cfg, key, 0.08, b, qc=qc)
     assert abs(int(f_x) - int(f_q)) <= 2, (int(f_x), int(f_q))
     assert abs(int(l_x) - int(l_q)) <= 2, (int(l_x), int(l_q))
+
+
+def test_cascade_compaction_exact_when_capacity_covers(gb48):
+    """compact_fraction=1.0 must reproduce the uncompacted cascade exactly
+    (the compaction is a gather/scatter identity then)."""
+    import jax
+
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn
+    from feedback_gnn_tpu.decoders.cascade import sandwich_eval_step
+
+    code = gb48
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(3)
+    b = 96
+    base = CascadeConfig(num_iter1=8, num_iter2=4, num_rounds=2, p0=0.08)
+    compact = CascadeConfig(
+        num_iter1=8, num_iter2=4, num_rounds=2, p0=0.08, compact_fraction=1.0
+    )
+    f0, l0 = sandwich_eval_step(graph, [params], base, key, 0.08, b)
+    f1, l1 = sandwich_eval_step(graph, [params], compact, key, 0.08, b)
+    assert int(f0) == int(f1) and int(l0) == int(l1)
+
+
+def test_cascade_compaction_partial_capacity(gb48):
+    """A partial capacity still runs and can only leave extra samples at
+    their stage-1 estimate (flagged count may only increase)."""
+    import jax
+
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn
+    from feedback_gnn_tpu.decoders.cascade import sandwich_eval_step
+
+    code = gb48
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(3)
+    b = 96
+    full = CascadeConfig(
+        num_iter1=8, num_iter2=4, num_rounds=2, p0=0.08, compact_fraction=1.0
+    )
+    part = CascadeConfig(
+        num_iter1=8, num_iter2=4, num_rounds=2, p0=0.08, compact_fraction=0.25
+    )
+    f_full, _ = sandwich_eval_step(graph, [params], full, key, 0.08, b)
+    f_part, _ = sandwich_eval_step(graph, [params], part, key, 0.08, b)
+    assert int(f_part) >= int(f_full)
