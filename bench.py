@@ -75,7 +75,10 @@ def main():
         qc_batch_tile=int(os.environ.get("QC_TILE", 128)),
         # stage-1 flagged rate at p=0.05 is ~2.8 %; 1/16 capacity gives a
         # >2x margin (overflowing samples would keep their stage-1 estimate)
-        compact_fraction=float(os.environ.get("BENCH_COMPACT", 1 / 16)),
+        compact_fraction=float(os.environ.get("BENCH_COMPACT", 1 / 12)),
+        # BP-12 prepass on the full batch, full BP-64 re-decode only on the
+        # still-flagged subset (~4 % at p=0.05)
+        stage1_prepass=int(os.environ.get("BENCH_PREPASS", 12)) or None,
     )
 
     @jax.jit

@@ -55,6 +55,7 @@ class EvalConfig:
     checkpoint: str | None = None  # MC-state resume file
     data_shards: int = 1  # mesh layout
     edge_shards: int = 1
+    qc_kernel: bool = False  # fused Pallas BP backend
 
     def resolve_weights(self) -> str:
         return self.weights or CODE_REGISTRY[self.code]["weights"]
@@ -86,6 +87,15 @@ def make_eval_parser() -> argparse.ArgumentParser:
                     help="MC-state JSON for interrupt/resume")
     ap.add_argument("--data-shards", type=int, default=1)
     ap.add_argument("--edge-shards", type=int, default=1)
+    ap.add_argument("--qc-kernel", action="store_true",
+                    help="use the fused Pallas BP kernel (block-circulant "
+                    "codes, single shard)")
+    ap.add_argument("--compact", type=float, default=None, metavar="FRAC",
+                    help="flagged-sample compaction capacity as a fraction "
+                    "of the batch (see CascadeConfig.compact_fraction)")
+    ap.add_argument("--prepass", type=int, default=None,
+                    help="adaptive stage-1 prepass iterations "
+                    "(see CascadeConfig.stage1_prepass; requires --compact)")
     return ap
 
 
@@ -105,10 +115,13 @@ def config_from_args(args) -> EvalConfig:
             cn_type=args.cn_type,
             num_rounds=nG,
             p0=args.p0,
+            compact_fraction=args.compact,
+            stage1_prepass=args.prepass,
         ),
         weights=args.weights,
         seed=args.seed,
         checkpoint=args.checkpoint,
         data_shards=args.data_shards,
         edge_shards=args.edge_shards,
+        qc_kernel=args.qc_kernel,
     )

@@ -321,12 +321,14 @@ def bp4_decode_qc(
     normalization_factor: float = 1.0,
     batch_tile: int = 128,
     interpret: bool | None = None,
+    need_logits: bool = True,
 ):
     """Drop-in replacement for ``bp4.bp4_decode`` (eval mode, no logit
     stack) backed by the fused kernel.  Accepts the cascade's padded
     layouts ([3, n_pad, B] LLRs, [c_pad, B] syndromes) and returns a
     ``BP4Result`` with identical padded shapes, so ``sandwich_decode``
-    can switch backends transparently."""
+    can switch backends transparently.  ``need_logits=False`` skips the
+    check-satisfaction logits (prepass runs never feed a GNN)."""
     from .bp4 import BP4Result, _cal_logit, hard_decision
 
     n = qc.n
@@ -349,6 +351,8 @@ def bp4_decode_qc(
     llrx = jnp.pad(llrx, pad)
     llry = jnp.pad(llry, pad)
     llrz = jnp.pad(llrz, pad)
-    x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph)
+    x_logit = z_logit = None
+    if need_logits:
+        x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph)
     x_hat, z_hat = hard_decision(llrx, llry, llrz)
     return BP4Result(llrx, llry, llrz, x_hat, z_hat, x_logit, z_logit, None)

@@ -47,11 +47,17 @@ def main():
             mesh, stacked, [params], cfg.cascade, cfg.batch_size // cfg.data_shards
         )
     else:
+        qc = None
+        if cfg.qc_kernel:
+            from feedback_gnn_tpu.codes.qc import qc_pair_from_code
+
+            qc = qc_pair_from_code(code)
+            assert qc is not None, "code has no block-circulant structure"
 
         @jax.jit
         def step(key, p):
             return sandwich_eval_step(
-                graph, [params], cfg.cascade, key, p, cfg.batch_size
+                graph, [params], cfg.cascade, key, p, cfg.batch_size, qc=qc
             )
 
     plot = PlotLER(title=f"{code.name} feedback-GNN cascade")

@@ -223,3 +223,33 @@ def test_cascade_compaction_partial_capacity(gb48):
     f_full, _ = sandwich_eval_step(graph, [params], full, key, 0.08, b)
     f_part, _ = sandwich_eval_step(graph, [params], part, key, 0.08, b)
     assert int(f_part) >= int(f_full)
+
+
+def test_cascade_stage1_prepass(gb48):
+    """Prepass stage 1: flagged samples get the exact full-schedule result;
+    converged-early samples keep a syndrome-consistent estimate, so the
+    final flagged count cannot exceed the plain cascade's by more than the
+    rare drift cases (none expected at this scale)."""
+    import jax
+
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn
+    from feedback_gnn_tpu.decoders.cascade import sandwich_eval_step
+
+    code = gb48
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(9)
+    b = 128
+    full = CascadeConfig(
+        num_iter1=16, num_iter2=4, num_rounds=2, p0=0.08, compact_fraction=1.0
+    )
+    pre = CascadeConfig(
+        num_iter1=16, num_iter2=4, num_rounds=2, p0=0.08,
+        compact_fraction=1.0, stage1_prepass=6,
+    )
+    f0, l0 = sandwich_eval_step(graph, [params], full, key, 0.08, b)
+    f1, l1 = sandwich_eval_step(graph, [params], pre, key, 0.08, b)
+    # with capacity 1.0 every flagged-after-prepass sample is re-decoded with
+    # the full schedule -> flagged counts match exactly
+    assert int(f0) == int(f1), (int(f0), int(f1))
+    assert abs(int(l0) - int(l1)) <= 1, (int(l0), int(l1))
