@@ -26,14 +26,25 @@ __all__ = [
 ]
 
 
-def row_echelon(mat: np.ndarray, reduced: bool = False):
+def row_echelon(mat: np.ndarray, reduced: bool = False, use_native: bool = True):
     """Gaussian elimination over GF(2); rank-deficient safe, no column swaps.
 
     Returns ``[row_ech_form, rank, transform, pivot_cols]`` with
     ``transform @ mat % 2 == row_ech_form``, matching the reference contract
     (fec/utils.py:1022).
+
+    Large matrices are handed to the bit-packed C++ core
+    (feedback_gnn_tpu/native, ~64x fewer word ops, identical pivot
+    choices); the NumPy path below is the reference implementation and the
+    fallback when no toolchain is available.
     """
     m, n = mat.shape
+    if use_native and m * n >= 64 * 64:
+        from ..native import row_echelon_native
+
+        out = row_echelon_native(mat, reduced)
+        if out is not None:
+            return out
     mat = mat.astype(bool).copy()
     transform = np.eye(m, dtype=bool)
     pivot_row = 0

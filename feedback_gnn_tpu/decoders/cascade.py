@@ -69,6 +69,15 @@ class CascadeConfig:
     # between the prepass and iteration num_iter1 — statistically
     # negligible (validated vs the reference BLER table).  Requires
     # compact_fraction.  None = off.
+    #
+    # SIZING RULE: compact_fraction must exceed the flagged rate after
+    # ``stage1_prepass`` iterations at the operating p (NOT the post-64
+    # rate) — e.g. ~4 % at p=0.05 but >50 % at p=0.10 for n1270 with a
+    # 12-iteration prepass.  Undersizing FAILS SAFE: overflow samples keep
+    # their prepass estimate and are counted flagged, so the reported
+    # error rate can only be pessimistic, never optimistic (measured:
+    # prepass=12/compact=0.5 at p=0.10 reports LER 0.22 vs the true
+    # 2.1e-4).  Use prepass only in the low-p regime it is meant for.
     stage1_prepass: int | None = None
 
 
