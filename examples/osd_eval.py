@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""BP + OSD-0 evaluation (counterpart of the reference examples/OSD.ipynb).
+
+Evaluates the [[882,24]] GHP code with (a) plain BP4, (b) BP4 + OSD-0
+fallback on the depolarizing channel, and (c) BP2 + OSD-0 on the BSC —
+the configurations of OSD.ipynb cells 2/3/7/8.
+
+    python examples/osd_eval.py -p 0.10 0.09 -bs 2000
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-p", type=float, nargs="+", default=[0.10])
+    ap.add_argument("-bs", "--batch-size", type=int, default=2000)
+    ap.add_argument("--target-errors", type=int, default=50)
+    ap.add_argument("--max-mc-iter", type=int, default=50)
+    ap.add_argument("--mode", choices=["bp4", "bp4-osd", "bp2-osd"], default="bp4-osd")
+    args = ap.parse_args()
+
+    import jax
+
+    from feedback_gnn_tpu.codes import ghp_882_24
+    from feedback_gnn_tpu.codes.graph import QuantumGraph, build_graph
+    from feedback_gnn_tpu.sim import PlotLER
+
+    code = ghp_882_24()
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+
+    if args.mode == "bp4":
+        from feedback_gnn_tpu.models import bp4_plain_eval_step
+
+        @jax.jit
+        def step(key, p):
+            return bp4_plain_eval_step(graph, key, p, args.batch_size, num_iter=64)
+
+        legend = "plain BP4-64 phi f=1.0"
+    elif args.mode == "bp4-osd":
+        from feedback_gnn_tpu.models import bp4_osd_eval_step
+
+        @jax.jit
+        def step(key, p):
+            return bp4_osd_eval_step(
+                graph, code, key, p, args.batch_size, num_iter=100,
+                cn_type="minsum", normalization_factor=0.8,
+            )
+
+        legend = "BP4 minsum 0.8 x100 + OSD0"
+    else:
+        import numpy as np
+
+        from feedback_gnn_tpu.codes.gf2 import row_basis, row_echelon
+        from feedback_gnn_tpu.models import bp2_osd_eval_step
+
+        hx = np.asarray(code.hx)
+        basis = row_basis(hx)
+        pivot = row_echelon(hx.T)[3]
+        pcm_graph = build_graph(hx)
+
+        @jax.jit
+        def step(key, p):
+            return bp2_osd_eval_step(
+                pcm_graph, hx, basis, pivot, np.asarray(code.lz), key, p,
+                args.batch_size, num_iter=100, cn_type="minsum",
+                normalization_factor=0.8,
+            )
+
+        legend = "BP2 minsum 0.8 x100 + OSD0 (BSC)"
+
+    plot = PlotLER(title=f"{code.name} {legend}")
+    result = plot.simulate(
+        step,
+        args.p,
+        batch_size=args.batch_size,
+        max_mc_iter=args.max_mc_iter,
+        num_target_block_errors=args.target_errors,
+        legend=legend,
+    )
+    print()
+    print(result.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,7 @@ from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
 from feedback_gnn_tpu.sim import PlotLER
 
 
-def main():
-    cfg = config_from_args(make_eval_parser().parse_args())
+def run(cfg):
     print(f"building code {cfg.code} ...")
     code = build_code(cfg.code)
     graph = QuantumGraph.from_code(code, stage_mode=True)
@@ -73,6 +72,11 @@ def main():
     )
     print()
     print(result.summary())
+    return result
+
+
+def main():
+    run(config_from_args(make_eval_parser().parse_args()))
 
 
 if __name__ == "__main__":

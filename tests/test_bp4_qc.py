@@ -253,3 +253,27 @@ def test_cascade_stage1_prepass(gb48):
     # the full schedule -> flagged counts match exactly
     assert int(f0) == int(f1), (int(f0), int(f1))
     assert abs(int(l0) - int(l1)) <= 1, (int(l0), int(l1))
+
+
+def test_qc_kernel_nonaligned_lift(gb48):
+    """l=7 circulants (l_pad=8, gap=1) exercise the two-roll + select
+    formulation of the mod-l rotation on padded planes."""
+    del gb48
+    code = create_QC_GHP_codes(7, create_cyclic_permuting_matrix(3, [2, 4, 0]), [0, 1, 3])
+    qc = qc_pair_from_code(code, l=7)
+    assert qc is not None
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+
+    b = 16
+    rng = np.random.default_rng(5)
+    llr_ch = jnp.asarray(rng.standard_normal((3, code.N, b)) * 2.0, jnp.float32)
+    syn_x = jnp.asarray(rng.integers(0, 2, (code.hx.shape[0], b)), jnp.float32)
+    syn_z = jnp.asarray(rng.integers(0, 2, (code.hz.shape[0], b)), jnp.float32)
+
+    ref = bp4_decode(graph, llr_ch, syn_x, syn_z, num_iter=6)
+    llrx, llry, llrz = bp4_qc_marginals(
+        qc, llr_ch, syn_x, syn_z, num_iter=6, batch_tile=16, interpret=True
+    )
+    np.testing.assert_allclose(llrx, ref.llrx[: code.N], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(llry, ref.llry[: code.N], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(llrz, ref.llrz[: code.N], rtol=2e-3, atol=2e-3)
