@@ -288,9 +288,25 @@ def bp4_qc_marginals(
         qc, num_iter, cn_type, float(normalization_factor), use_pltpu=not interpret
     )
     grid = (b_pad // bt,)
+    # under shard_map(check_vma=True) the output must declare how it varies
+    # over the manual mesh axes: the JOIN of the inputs' vma (the channel
+    # prior is often a replicated constant while the syndromes vary)
+    vma = frozenset()
+    for a in (llr_b, synx_b, synz_b):
+        vma = vma | (getattr(jax.typeof(a), "vma", None) or frozenset())
+    if vma:
+        llr_b, synx_b, synz_b = (
+            jax.lax.pvary(a, tuple(vma - (getattr(jax.typeof(a), "vma", None) or frozenset())))
+            if vma != getattr(jax.typeof(a), "vma", frozenset())
+            else a
+            for a in (llr_b, synx_b, synz_b)
+        )
+        out_sds = jax.ShapeDtypeStruct((3, nb, l_pad, b_pad), jnp.float32, vma=vma)
+    else:
+        out_sds = jax.ShapeDtypeStruct((3, nb, l_pad, b_pad), jnp.float32)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3, nb, l_pad, b_pad), jnp.float32),
+        out_shape=out_sds,
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, nb, l_pad, bt), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),

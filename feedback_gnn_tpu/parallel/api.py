@@ -43,18 +43,26 @@ def make_sharded_eval_step(
     cfg: CascadeConfig,
     local_batch: int,
     wt: int | None = None,
+    qc=None,
 ):
     """Jitted (key, p) -> (flagged_count, logical_count) over the mesh.
 
     ``stacked_graph`` comes from shard_quantum_graph(graph,
     mesh.shape['edge']).  Each data shard simulates ``local_batch`` samples;
     counts are psum-ed over 'data' (and or-reduced over 'edge').
+
+    ``qc`` (codes.qc.QCPair) routes each data shard's BP runs onto the
+    fused Pallas kernel — the production multi-chip mode is pure DP over
+    ICI with the kernel shard-local.  Requires edge=1 (the kernel is
+    unsharded in the edge dimension).
     """
     edge_axis = "edge" if mesh.shape["edge"] > 1 else None
+    if qc is not None:
+        assert edge_axis is None, "QC kernel path requires edge=1 (pure DP)"
 
     def inner(graph_stacked, params_list, key, p):
         graph = unstack_shard(graph_stacked)
-        return sandwich_eval_step(
+        flagged, logical = sandwich_eval_step(
             graph,
             params_list,
             cfg,
@@ -64,14 +72,26 @@ def make_sharded_eval_step(
             wt=wt,
             axis_name=edge_axis,
             data_axis="data",
+            qc=qc,
         )
+        if edge_axis is None:
+            # edge axis of size 1: the graph arrays still carry {edge}
+            # variance; this identity psum declares the (trivially)
+            # replicated counts invariant for check_vma
+            flagged = jax.lax.psum(flagged, "edge")
+            logical = jax.lax.psum(logical, "edge")
+        return flagged, logical
 
     mapped = shard_map(
         inner,
         mesh=mesh,
         in_specs=(_graph_spec(stacked_graph), P(), P(), P()),
         out_specs=(P(), P()),
-        check_vma=True,
+        # vma inference cannot see through the Pallas kernel body (ops
+        # inside the kernel mix traced inputs with kernel-local constants),
+        # so the QC backend runs with the check disabled — numerics are
+        # covered by the sharded-vs-unsharded equivalence tests
+        check_vma=qc is None,
     )
 
     @jax.jit

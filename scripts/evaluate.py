@@ -16,6 +16,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# this environment's sitecustomize pins jax_platforms="axon,cpu" via
+# jax.config at interpreter start; honor an explicit JAX_PLATFORMS request
+# (e.g. cpu + --xla_force_host_platform_device_count for virtual meshes)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 from feedback_gnn_tpu.config import build_code, config_from_args, make_eval_parser
@@ -42,8 +48,14 @@ def run(cfg):
         mesh = make_mesh(data=cfg.data_shards, edge=cfg.edge_shards)
         stacked = shard_quantum_graph(graph, cfg.edge_shards)
         assert cfg.batch_size % cfg.data_shards == 0
+        qc = None
+        if cfg.qc_kernel:
+            from feedback_gnn_tpu.codes.qc import qc_pair_from_code
+
+            qc = qc_pair_from_code(code)
         step = make_sharded_eval_step(
-            mesh, stacked, [params], cfg.cascade, cfg.batch_size // cfg.data_shards
+            mesh, stacked, [params], cfg.cascade,
+            cfg.batch_size // cfg.data_shards, qc=qc,
         )
     else:
         qc = None

@@ -19,6 +19,12 @@ import numpy as np
 
 import jax
 
+# this environment's sitecustomize pins jax_platforms="axon,cpu" via
+# jax.config at interpreter start; honor an explicit JAX_PLATFORMS request
+# (e.g. cpu + --xla_force_host_platform_device_count for virtual meshes)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main():
     ap = argparse.ArgumentParser()

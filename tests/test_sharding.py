@@ -244,3 +244,42 @@ def test_stage_two_grad_edge_sharded_exact(setup):
         g_ref,
         g_sh,
     )
+
+
+def test_data_sharded_eval_with_qc_kernel():
+    """Pure-DP mesh with the fused QC kernel per shard matches the
+    unsharded QC run (same folded keys -> same channel per shard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from feedback_gnn_tpu.codes.css import create_generalized_bicycle_codes
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.codes.qc import qc_pair_from_code
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn
+    from feedback_gnn_tpu.parallel import (
+        make_mesh,
+        make_sharded_eval_step,
+        shard_quantum_graph,
+    )
+
+    code = create_generalized_bicycle_codes(24, [0, 2, 8, 15], [0, 2, 12, 17])
+    qc = qc_pair_from_code(code, l=24)
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(1))
+    cfg = CascadeConfig(num_iter1=8, num_iter2=4, num_rounds=2, p0=0.08)
+
+    mesh = make_mesh(data=4, edge=1)
+    stacked = shard_quantum_graph(graph, 1)
+    step = make_sharded_eval_step(mesh, stacked, [params], cfg, local_batch=32, qc=qc)
+    f, lg = step(jax.random.PRNGKey(2), jnp.float32(0.08))
+    assert int(f) >= 0 and int(lg) >= 0
+    # compare against the same shards run unsharded with folded keys
+    from feedback_gnn_tpu.decoders.cascade import sandwich_eval_step
+
+    tot_f = tot_l = 0
+    for d in range(4):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), d)
+        ff, ll = sandwich_eval_step(graph, [params], cfg, key, 0.08, 32, qc=qc)
+        tot_f += int(ff)
+        tot_l += int(ll)
+    assert int(f) == tot_f and int(lg) == tot_l
