@@ -65,8 +65,10 @@ def main():
 
     t0 = time.perf_counter()
     out = qc_run(llr_ch, syn_x, syn_z)
-    jax.block_until_ready(out)
-    print(f"qc kernel compile+run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    _ = float(out[0][0, 0])
+    out = qc_run(llr_ch, syn_x, syn_z)
+    _ = float(out[0][0, 0])  # second warmup: absorb remote-compile residue
+    print(f"qc kernel compile+2 runs: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -98,8 +100,10 @@ def main():
 
     t0 = time.perf_counter()
     ref = xla_run(llr_ch, syn_x, syn_z)
-    jax.block_until_ready(ref)
-    print(f"xla compile+run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    _ = float(ref[0][0, 0])
+    ref = xla_run(llr_ch, syn_x, syn_z)
+    _ = float(ref[0][0, 0])
+    print(f"xla compile+2 runs: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(reps):
         ref = xla_run(llr_ch, syn_x, syn_z)
