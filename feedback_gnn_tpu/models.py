@@ -55,11 +55,13 @@ def bp2_bsc_eval_step(
     cn_type: str = "minsum",
     normalization_factor: float = 0.8,
     p0=None,
+    qc_spec=None,
 ):
     """Binary syndrome BP over a BSC with logical-operator check
     (BP_BSC_Model, feedback_gnn.py:190-229).  ``pcm`` is one of hx/hz (the
     decoding graph), ``logical_pcm`` the orthogonal complement used for the
-    logical check."""
+    logical check.  ``qc_spec`` (codes.qc.QCGraphSpec of ``pcm``) switches
+    to the fused Pallas BP2 kernel."""
     pcm = jnp.asarray(pcm, jnp.float32)
     logical_pcm = jnp.asarray(logical_pcm, jnp.float32)
     n = pcm.shape[1]
@@ -67,17 +69,24 @@ def bp2_bsc_eval_step(
     noise = bsc_sample(key, p, (n, batch)).astype(jnp.int32)  # [n, B]
     p_prior = p if p0 is None else p0
     llr_const = -jnp.log((1.0 - p_prior) / p_prior)
-    # zero pad rows (aligned-layout invariant)
-    llr = jnp.pad(
-        jnp.full((n, batch), llr_const, jnp.float32),
-        ((0, pcm_graph.n_pad - n), (0, 0)),
-    )
+    llr_true = jnp.full((n, batch), llr_const, jnp.float32)
     syndrome = mod2_matmul(pcm, noise)
 
-    res = bp2_decode(
-        pcm_graph, llr, syndrome, num_iter, cn_type, normalization_factor
-    )
-    noise_hat = res.hard[:n]  # [n, B]
+    if qc_spec is not None:
+        from .decoders.bp2_qc import bp2_qc_logits
+
+        logits = bp2_qc_logits(
+            qc_spec, llr_true, syndrome[: qc_spec.mb * qc_spec.l], num_iter,
+            cn_type, normalization_factor,
+        )
+        noise_hat = (logits > 0.0).astype(jnp.int32)
+    else:
+        # zero pad rows (aligned-layout invariant)
+        llr = jnp.pad(llr_true, ((0, pcm_graph.n_pad - n), (0, 0)))
+        res = bp2_decode(
+            pcm_graph, llr, syndrome, num_iter, cn_type, normalization_factor
+        )
+        noise_hat = res.hard[:n]  # [n, B]
 
     diff = jnp.bitwise_xor(noise, noise_hat)
     s_hat = mod2_matmul(pcm, diff)
