@@ -81,6 +81,9 @@ def main():
         # ~12.6 % on n1270 (the convergence tail is long), so 15 % leaves
         # >10 sigma of margin; see CascadeConfig.stage1_prepass.
         stage1_prepass=int(os.environ.get("BENCH_PREPASS", 12)) or None,
+        # second-level subset for the GNN rounds: flagged@64 at p=0.05 is
+        # ~2.8 % (575/20480, sigma~24); 5 % capacity is >20 sigma of margin
+        round_fraction=float(os.environ.get("BENCH_ROUNDS", 0.05)) or None,
     )
 
     @jax.jit

@@ -66,7 +66,9 @@ def main():
         @jax.jit
         def step(key, p):
             return bp2_osd_eval_step(
-                pcm_graph, hx, basis, pivot, np.asarray(code.lz), key, p,
+                # logical check = lx, matching the reference instantiation
+                # (OSD.ipynb: BP2_OSD_Model(code.hx, ..., code.lx, ...))
+                pcm_graph, hx, basis, pivot, np.asarray(code.lx), key, p,
                 args.batch_size, num_iter=100, cn_type="minsum",
                 normalization_factor=0.8,
             )

@@ -96,6 +96,9 @@ def make_eval_parser() -> argparse.ArgumentParser:
     ap.add_argument("--prepass", type=int, default=None,
                     help="adaptive stage-1 prepass iterations "
                     "(see CascadeConfig.stage1_prepass; requires --compact)")
+    ap.add_argument("--rounds-cap", type=float, default=None, metavar="FRAC",
+                    help="second-level compaction for the GNN rounds "
+                    "(see CascadeConfig.round_fraction)")
     return ap
 
 
@@ -117,6 +120,7 @@ def config_from_args(args) -> EvalConfig:
             p0=args.p0,
             compact_fraction=args.compact,
             stage1_prepass=args.prepass,
+            round_fraction=args.rounds_cap,
         ),
         weights=args.weights,
         seed=args.seed,

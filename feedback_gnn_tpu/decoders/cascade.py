@@ -79,6 +79,13 @@ class CascadeConfig:
     # prepass=12/compact=0.5 at p=0.10 reports LER 0.22 vs the true
     # 2.1e-4).  Use prepass only in the low-p regime it is meant for.
     stage1_prepass: int | None = None
+    # Second compaction level: size of the sub-batch the nG GNN rounds run
+    # on, as a fraction of the FULL batch.  Sized by the flagged rate after
+    # the full stage-1 schedule (~2.8 % at p=0.05 on n1270), i.e. smaller
+    # than compact_fraction (which must cover flagged@prepass).  Same
+    # fail-safe overflow semantics.  None = rounds run on the first-level
+    # subset.
+    round_fraction: float | None = None
 
 
 def prior_llr(p0, n, batch, n_pad=None):
@@ -196,6 +203,10 @@ def sandwich_decode(
     b = x_hat.shape[-1]
 
     if cfg.compact_fraction is None:
+        assert cfg.round_fraction is None, (
+            "round_fraction requires compact_fraction (the second-level "
+            "subset is taken from the first-level one)"
+        )
         return gnn_rounds(
             res, x_hat, z_hat, syndrome_x, syndrome_z, gt, jnp.ones(b, bool)
         )
@@ -228,7 +239,32 @@ def sandwich_decode(
         sub_res = type(res)(*[take(f) if f is not None else None for f in res])
         x_s, z_s = take(x_hat), take(z_hat)
 
-    x_sub, z_sub = gnn_rounds(sub_res, x_s, z_s, syn_x_s, syn_z_s, gt_s, valid)
+    if cfg.round_fraction is not None:
+        # second compaction level: the GNN rounds only act on samples still
+        # flagged AFTER the full stage-1 schedule (~2.8 % at p=0.05 vs the
+        # ~12.6 % flagged after the prepass), so compact again before the
+        # nG rounds.  Same fail-safe overflow semantics.
+        cap2 = min(cap, -(-int(np.ceil(cfg.round_fraction * b)) // tile) * tile)
+        se2 = jnp.concatenate([mod2_matmul(hz, x_s), mod2_matmul(hx, z_s)], axis=0)
+        flags1 = jnp.logical_and(jnp.any(se2 != gt_s, axis=0), valid)
+        order2 = jnp.argsort(jnp.logical_not(flags1), stable=True)
+        idx2 = order2[:cap2]
+        valid2 = flags1[idx2]
+
+        def take2(a):
+            return jnp.take(a, idx2, axis=-1)
+
+        res2 = type(sub_res)(
+            *[take2(f) if f is not None else None for f in sub_res]
+        )
+        x2, z2 = gnn_rounds(
+            res2, take2(x_s), take2(z_s), take2(syn_x_s), take2(syn_z_s),
+            take2(gt_s), valid2,
+        )
+        x_sub = x_s.at[:, idx2].set(x2)
+        z_sub = z_s.at[:, idx2].set(z2)
+    else:
+        x_sub, z_sub = gnn_rounds(sub_res, x_s, z_s, syn_x_s, syn_z_s, gt_s, valid)
     x_hat = x_hat.at[:, idx].set(x_sub)
     z_hat = z_hat.at[:, idx].set(z_sub)
     return x_hat, z_hat

@@ -277,3 +277,25 @@ def test_qc_kernel_nonaligned_lift(gb48):
     np.testing.assert_allclose(llrx, ref.llrx[: code.N], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(llry, ref.llry[: code.N], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(llrz, ref.llrz[: code.N], rtol=2e-3, atol=2e-3)
+
+
+def test_cascade_two_level_compaction_exact(gb48):
+    """Full-capacity two-level compaction reproduces the plain cascade."""
+    import jax
+
+    from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn
+    from feedback_gnn_tpu.decoders.cascade import sandwich_eval_step
+
+    code = gb48
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(13)
+    b = 128
+    base = CascadeConfig(num_iter1=16, num_iter2=4, num_rounds=2, p0=0.08,
+                         compact_fraction=1.0, stage1_prepass=6)
+    two = CascadeConfig(num_iter1=16, num_iter2=4, num_rounds=2, p0=0.08,
+                        compact_fraction=1.0, stage1_prepass=6,
+                        round_fraction=1.0)
+    f0, l0 = sandwich_eval_step(graph, [params], base, key, 0.08, b)
+    f1, l1 = sandwich_eval_step(graph, [params], two, key, 0.08, b)
+    assert int(f0) == int(f1) and int(l0) == int(l1)

@@ -62,8 +62,11 @@ def test_bp2_osd_improves_on_bp2(small_code):
 
     @jax.jit
     def plain(key):
+        # reference pairing: pcm=hx detects Z-type noise, harmless residuals
+        # live in rowspace(hz) -> check with hz_perp (QLDPC.ipynb cell:
+        # BP_BSC_Model(pcm=code.hx, logical_pcm=code.hz_perp))
         return bp2_bsc_eval_step(
-            g, code.hx, code.hx_perp, key, p, batch, num_iter=30
+            g, code.hx, code.hz_perp, key, p, batch, num_iter=30
         )
 
     @jax.jit
@@ -73,7 +76,9 @@ def test_bp2_osd_improves_on_bp2(small_code):
             code.hx,
             code.hx_basis,
             code.pivot_hx,
-            code.hx_perp,
+            # OSD guarantees syndrome match, so the minimal logical check is
+            # lx (OSD.ipynb: BP2_OSD_Model(code.hx, ..., code.lx, ...))
+            code.lx,
             key,
             p,
             batch,
