@@ -291,14 +291,13 @@ def bp4_qc_marginals(
     # under shard_map(check_vma=True) the output must declare how it varies
     # over the manual mesh axes: the JOIN of the inputs' vma (the channel
     # prior is often a replicated constant while the syndromes vary)
-    vma = frozenset()
-    for a in (llr_b, synx_b, synz_b):
-        vma = vma | (getattr(jax.typeof(a), "vma", None) or frozenset())
+    def _vma(a):
+        return getattr(jax.typeof(a), "vma", None) or frozenset()
+
+    vma = _vma(llr_b) | _vma(synx_b) | _vma(synz_b)
     if vma:
         llr_b, synx_b, synz_b = (
-            jax.lax.pvary(a, tuple(vma - (getattr(jax.typeof(a), "vma", None) or frozenset())))
-            if vma != getattr(jax.typeof(a), "vma", frozenset())
-            else a
+            jax.lax.pvary(a, tuple(vma - _vma(a))) if vma != _vma(a) else a
             for a in (llr_b, synx_b, synz_b)
         )
         out_sds = jax.ShapeDtypeStruct((3, nb, l_pad, b_pad), jnp.float32, vma=vma)

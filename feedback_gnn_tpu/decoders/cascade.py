@@ -21,7 +21,7 @@ per-Hx-row logit (z_logit of bp4) and ``logit_hz`` is the per-Hz-row logit
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import jax
