@@ -78,14 +78,30 @@ def osd0_decode(llr, pcm, syndrome):
     return jnp.take_along_axis(e_sorted, inv_sort, axis=1)
 
 
-def bp_osd_correct(graph, bp_result, noise_x, noise_z, pivot_hx, pivot_hz, hx_basis, hz_basis):
-    """Full-batch BP4 + OSD-0 correction step (BP4_OSD_Model semantics,
+def bp_osd_correct(
+    graph,
+    bp_result,
+    noise_x,
+    noise_z,
+    pivot_hx,
+    pivot_hz,
+    hx_basis,
+    hz_basis,
+    compact_cap: int | None = None,
+):
+    """BP4 + OSD-0 correction step (BP4_OSD_Model semantics,
     bp_osd.py:104-191), entirely static-shaped.
 
-    Applies OSD to every sample (cheap correctness-wise: OSD of an already
-    satisfied syndrome returns a valid coset representative; the caller
-    selects BP or OSD output per sample via the flagged mask, mirroring the
-    reference's scatter on flagged rows).
+    Without ``compact_cap``, OSD runs on every sample (cheap
+    correctness-wise: OSD of an already satisfied syndrome returns a valid
+    coset representative; the flagged mask selects BP or OSD output per
+    sample, mirroring the reference's scatter on flagged rows).
+
+    With ``compact_cap``, the still-flagged samples are gathered into a
+    dense sub-batch of that size before the (rank-sequential, expensive)
+    OSD solve — the on-device static-shape equivalent of the reference's
+    host-side boolean-mask round-trip (bp_osd.py:170-175).  Overflow
+    samples keep their BP estimate (counted flagged, fail-safe).
 
     Args:
       bp_result: BP4Result from a stage_one-style decode.
@@ -127,10 +143,31 @@ def bp_osd_correct(graph, bp_result, noise_x, noise_z, pivot_hx, pivot_hz, hx_ba
     syndrome_z = mod2_matmul(hz, noise_x)
     red_sx = syndrome_x[jnp.asarray(pivot_hx)]
     red_sz = syndrome_z[jnp.asarray(pivot_hz)]
+    pad = ((0, graph.n_pad - n), (0, 0))
+
+    if compact_cap is not None:
+        b = flagged.shape[0]
+        cap = min(b, int(compact_cap))
+        order = jnp.argsort(jnp.logical_not(flagged), stable=True)
+        idx = order[:cap]
+        valid = flagged[idx]
+        z_osd = osd0_decode(
+            osd_llrz.T[idx], jnp.asarray(hx_basis), red_sx[:, idx]
+        ).T  # [n, cap]
+        x_osd = osd0_decode(osd_llrx.T[idx], jnp.asarray(hz_basis), red_sz[:, idx]).T
+        x_osd = jnp.pad(x_osd, pad)
+        z_osd = jnp.pad(z_osd, pad)
+        upd = valid[None, :]
+        x_hat = bp_result.x_hat.at[:, idx].set(
+            jnp.where(upd, x_osd, bp_result.x_hat[:, idx])
+        )
+        z_hat = bp_result.z_hat.at[:, idx].set(
+            jnp.where(upd, z_osd, bp_result.z_hat[:, idx])
+        )
+        return x_hat, z_hat, flagged
 
     z_hat_osd = osd0_decode(osd_llrz.T, jnp.asarray(hx_basis), red_sx).T  # [n, B]
     x_hat_osd = osd0_decode(osd_llrx.T, jnp.asarray(hz_basis), red_sz).T
-    pad = ((0, graph.n_pad - n), (0, 0))
     x_hat_osd = jnp.pad(x_hat_osd, pad)
     z_hat_osd = jnp.pad(z_hat_osd, pad)
 

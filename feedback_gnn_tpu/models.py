@@ -143,11 +143,14 @@ def bp4_osd_eval_step(
     num_iter: int = 100,
     cn_type: str = "minsum",
     normalization_factor: float = 0.8,
+    osd_compact_cap: int | None = None,
 ):
     """BP4 + OSD-0 fallback over the depolarizing channel (BP4_OSD_Model,
     bp_osd.py:80-191).  Logical check uses lx/lz as the reference does
     (bp_osd.py:184-187).  Fully static shapes: OSD runs on the whole batch
-    and the flagged mask selects per sample."""
+    (or, with ``osd_compact_cap``, on a dense flagged-only sub-batch — the
+    static-shape equivalent of the reference's host round-trip) and the
+    flagged mask selects per sample."""
     n = graph.n
     px, py, pz = depolarizing_probs(p)
     noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
@@ -171,6 +174,7 @@ def bp4_osd_eval_step(
         code.pivot_hz,
         code.hx_basis,
         code.hz_basis,
+        compact_cap=osd_compact_cap,
     )
     x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), x_hat)
     z_diff = jnp.bitwise_xor(noise_z.astype(jnp.int32), z_hat)

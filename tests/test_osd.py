@@ -107,3 +107,26 @@ def test_bp4_osd_model_runs(small_code):
 
     _, logical = step(jax.random.PRNGKey(1))
     assert 0 <= int(logical) <= 256
+
+
+@pytest.mark.slow
+def test_bp4_osd_compacted_matches_full(small_code):
+    """Compacted OSD (flagged-only sub-batch) must reproduce the full-batch
+    OSD result when the capacity covers every flagged sample."""
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.models import bp4_osd_eval_step
+
+    code = small_code
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    key = jax.random.PRNGKey(5)
+    batch = 256
+    f0, l0 = bp4_osd_eval_step(graph, code, key, 0.08, batch, num_iter=20)
+    f1, l1 = bp4_osd_eval_step(
+        graph, code, key, 0.08, batch, num_iter=20, osd_compact_cap=batch
+    )
+    assert int(l0) == int(l1)
+    # partial capacity may only leave extra samples at their BP estimate
+    f2, l2 = bp4_osd_eval_step(
+        graph, code, key, 0.08, batch, num_iter=20, osd_compact_cap=64
+    )
+    assert int(l2) >= int(l1)
