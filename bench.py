@@ -75,7 +75,7 @@ def main():
         qc_batch_tile=int(os.environ.get("QC_TILE", 128)),
         # stage-1 flagged rate at p=0.05 is ~2.8 %; 1/16 capacity gives a
         # >2x margin (overflowing samples would keep their stage-1 estimate)
-        compact_fraction=float(os.environ.get("BENCH_COMPACT", 0.15)),
+        compact_fraction=float(os.environ.get("BENCH_COMPACT", 0.15)) or None,
         # BP-12 prepass on the full batch, full BP-64 re-decode only on the
         # still-flagged subset.  CAPACITY SIZING: flagged@12 at p=0.05 is
         # ~12.6 % on n1270 (the convergence tail is long), so 15 % leaves

@@ -189,7 +189,7 @@ def sandwich_decode(
 
     stage1_iters = cfg.num_iter1
     if cfg.stage1_prepass is not None:
-        assert cfg.compact_fraction is not None, "prepass requires compaction"
+        assert cfg.compact_fraction, "prepass requires compaction"
         stage1_iters = min(cfg.stage1_prepass, cfg.num_iter1)
 
     # the prepass result never feeds the GNN (the subset is re-decoded with
@@ -202,8 +202,8 @@ def sandwich_decode(
     x_hat, z_hat = res.x_hat, res.z_hat
     b = x_hat.shape[-1]
 
-    if cfg.compact_fraction is None:
-        assert cfg.round_fraction is None, (
+    if not cfg.compact_fraction:  # None and 0.0 both mean "off"
+        assert not cfg.round_fraction, (
             "round_fraction requires compact_fraction (the second-level "
             "subset is taken from the first-level one)"
         )

@@ -9,6 +9,7 @@ available everything silently falls back to the NumPy implementation.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -18,15 +19,25 @@ __all__ = ["available", "row_echelon_native", "gf2_matmul_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "gf2_native.cpp")
-_LIB = os.path.join(_DIR, "libgf2.so")
+
+
+def _lib_path() -> str:
+    # the cache key is a hash of the source: a binary left over from another
+    # source revision (or another machine's checkout with fresh mtimes) can
+    # never be picked up, it simply has a different name
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"libgf2-{digest}.so")
+
+
+_LIB = _lib_path()
 
 _lib = None
 
 
 def _build() -> bool:
     try:
-        src_mtime = os.path.getmtime(_SRC)
-        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+        if os.path.exists(_LIB):
             return True
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp"],

@@ -53,6 +53,7 @@ def run(cfg):
             from feedback_gnn_tpu.codes.qc import qc_pair_from_code
 
             qc = qc_pair_from_code(code)
+            assert qc is not None, "code has no block-circulant structure"
         step = make_sharded_eval_step(
             mesh, stacked, [params], cfg.cascade,
             cfg.batch_size // cfg.data_shards, qc=qc,
