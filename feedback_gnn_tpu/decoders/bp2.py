@@ -62,7 +62,9 @@ def bp2_decode(
 
     Args:
       llr_ch: [n(,pad), B] channel logits (positive = bit 1 likely).
-      syndrome: [num_cn(,pad), B] in {0, 1}.
+      syndrome: [num_cn(,pad), B] in {0, 1}, or None for classical
+        (non-syndrome) decoding — the reference's ``is_syndrome=False``
+        default (decoding.py:906-908 skipped, CN sign product unmodified).
       edge_weights: optional [dv, n_pad] per-edge weights multiplied onto
         outgoing VN messages — weighted BP (decoding.py:360-366, 852-858);
         initialise to ones and train through this argument.
@@ -77,7 +79,10 @@ def bp2_decode(
 
     llr = jnp.clip(llr_ch.astype(jnp.float32), -LLR_MAX, LLR_MAX)
     llr = -_pad_rows_to(llr, graph.n_pad)  # logits -> "true" llrs (decoding.py:940)
-    syn_pm = 1.0 - 2.0 * _pad_rows_to(syndrome.astype(jnp.float32), graph.c_pad)
+    if syndrome is None:  # classical decoding: neutral +1 sign everywhere
+        syn_pm = jnp.ones((graph.c_pad, b), jnp.float32)
+    else:
+        syn_pm = 1.0 - 2.0 * _pad_rows_to(syndrome.astype(jnp.float32), graph.c_pad)
     cn_mask = jnp.asarray(graph.cn_mask)
     vn_mask = jnp.asarray(graph.vn_mask)
     if edge_weights is not None:

@@ -43,7 +43,13 @@ class GNNBP4Config(NamedTuple):
     num_iter: int = 8
     activation: str = "relu"
     use_bias: bool = False
-    reduce_op: str = "mean"
+    reduce_op: str = "mean"  # sum | mean | max | min (gnn.py:560-571)
+    # trainable zero-init node/edge attributes (gnn.py:519-531): edge
+    # attributes are concatenated onto the per-edge features before the msg
+    # MLP, node attributes onto the reduced messages before the embed MLP
+    use_attributes: bool = False
+    node_attribute_dims: int = 0
+    msg_attribute_dims: int = 0
 
 
 def _act(name):
@@ -57,25 +63,46 @@ def _mlp(x, layers, act):
     return x
 
 
-def init_gnn_bp4(key, cfg: GNNBP4Config):
+def init_gnn_bp4(key, cfg: GNNBP4Config, graph: QuantumGraph | None = None):
     ks = jax.random.split(key, 10)
     h, m, e = cfg.num_hidden_units, cfg.num_msg_dims, cfg.num_embed_dims
     L = cfg.num_mlp_layers
     hidden = [h] * (L - 1)
-    feat = 2 * e  # concat(from, to) embeddings per edge
-    return {
+    na = cfg.node_attribute_dims if cfg.use_attributes else 0
+    ma = cfg.msg_attribute_dims if cfg.use_attributes else 0
+    feat = 2 * e + ma  # concat(from, to[, edge attr]) per edge
+    params = {
         # CN update: X and Z sides have separate msg and embed MLPs
         "cn_msg_mlp_x": init_mlp(ks[0], feat, hidden + [m], cfg.use_bias),
         "cn_msg_mlp_z": init_mlp(ks[1], feat, hidden + [m], cfg.use_bias),
-        "cn_embed_mlp_x": init_mlp(ks[2], m + e + 1, hidden + [e], cfg.use_bias),
-        "cn_embed_mlp_z": init_mlp(ks[3], m + e + 1, hidden + [e], cfg.use_bias),
+        "cn_embed_mlp_x": init_mlp(ks[2], m + na + e + 1, hidden + [e], cfg.use_bias),
+        "cn_embed_mlp_z": init_mlp(ks[3], m + na + e + 1, hidden + [e], cfg.use_bias),
         # VN update
         "vn_msg_mlp_x": init_mlp(ks[4], feat, hidden + [m], cfg.use_bias),
         "vn_msg_mlp_z": init_mlp(ks[5], feat, hidden + [m], cfg.use_bias),
-        "vn_embed_mlp": init_mlp(ks[6], 2 * m + e, hidden + [e], cfg.use_bias),
+        # single node attribute concatenated onto m_z only (gnn.py:748-750)
+        "vn_embed_mlp": init_mlp(ks[6], 2 * m + na + e, hidden + [e], cfg.use_bias),
         # embedding -> (llrx, llry, llrz)
         "llr_inv_embed": init_dense(ks[7], e, 3, use_bias=True),
     }
+    if cfg.use_attributes:
+        assert graph is not None, "use_attributes requires the graph (shapes)"
+        gx, gz = graph.gx, graph.gz
+        z = jnp.zeros
+        params["attributes"] = {
+            # CN update (gnn.py:519-531): edge attrs in cn-slot layout,
+            # node attrs per check side
+            "cn_msg_x": z((ma, gx.max_cn_deg, gx.c_pad), jnp.float32),
+            "cn_msg_z": z((ma, gz.max_cn_deg, gz.c_pad), jnp.float32),
+            "cn_node_x": z((na, gx.c_pad), jnp.float32),
+            "cn_node_z": z((na, gz.c_pad), jnp.float32),
+            # VN update (gnn.py:667-676): edge attrs in vn-slot layout,
+            # one shared VN node attribute
+            "vn_msg_x": z((ma, gx.max_vn_deg, gx.n_pad), jnp.float32),
+            "vn_msg_z": z((ma, gz.max_vn_deg, gz.n_pad), jnp.float32),
+            "vn_node": z((na, gx.n_pad), jnp.float32),
+        }
+    return params
 
 
 def _vn_slot_features(h_cn, h_vn, graph: TannerGraph):
@@ -96,6 +123,17 @@ def _cn_slot_features(h_vn, h_cn, graph: TannerGraph):
 
 def _reduce_slots(messages, mask, deg, reduce_op: str, axis_name=None):
     """Aggregate per-slot messages [m, d, N_pad, B] at nodes -> [m, N_pad, B]."""
+    if reduce_op in ("max", "min"):
+        big = jnp.float32(3.4e38)
+        fill = -big if reduce_op == "max" else big
+        masked = jnp.where(mask[None, :, :, None], messages, fill)
+        red = masked.max(axis=1) if reduce_op == "max" else masked.min(axis=1)
+        if axis_name is not None:
+            op = jax.lax.pmax if reduce_op == "max" else jax.lax.pmin
+            red = op(red, axis_name)
+            deg = jax.lax.psum(deg, axis_name)  # global degree across shards
+        # degree-0 (padding) nodes: no incoming messages -> 0
+        return jnp.where((deg > 0)[None, :, None], red, 0.0)
     s = (messages * mask[None, :, :, None]).sum(axis=1)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
@@ -170,14 +208,25 @@ def gnn_bp4_apply(
     h_cn_x = jnp.zeros((e, gx.c_pad, b), jnp.float32)
     h_cn_z = jnp.zeros((e, gz.c_pad, b), jnp.float32)
 
+    attrs = params.get("attributes") if cfg.use_attributes else None
+
+    def cat_attr(feat, attr):
+        # attributes are shared across the batch (gnn.py:585-588)
+        if attrs is None:
+            return feat
+        a = jnp.broadcast_to(attr[..., None], attr.shape + (feat.shape[-1],))
+        return jnp.concatenate([feat, a], axis=0)
+
     def update_cn(h_vn, h_cn_x, h_cn_z, hx_logit, hz_logit):
         # "from VN to CN": from = vn endpoint, to = cn endpoint (gnn.py:256)
-        feat_x = _cn_slot_features(h_vn, h_cn_x, gx)
-        feat_z = _cn_slot_features(h_vn, h_cn_z, gz)
+        feat_x = cat_attr(_cn_slot_features(h_vn, h_cn_x, gx), attrs and attrs["cn_msg_x"])
+        feat_z = cat_attr(_cn_slot_features(h_vn, h_cn_z, gz), attrs and attrs["cn_msg_z"])
         msg_x = _mlp(feat_x, params["cn_msg_mlp_x"], act)  # [m, dc, c_pad, B]
         msg_z = _mlp(feat_z, params["cn_msg_mlp_z"], act)
         m_x = _reduce_slots(msg_x, gx.cn_mask, gx.cn_deg, cfg.reduce_op)
         m_z = _reduce_slots(msg_z, gz.cn_mask, gz.cn_deg, cfg.reduce_op)
+        m_x = cat_attr(m_x, attrs and attrs["cn_node_x"])  # gnn.py:597-601
+        m_z = cat_attr(m_z, attrs and attrs["cn_node_z"])
         new_x = _mlp(
             jnp.concatenate([m_x, h_cn_x, hx_logit[None]], axis=0),
             params["cn_embed_mlp_x"],
@@ -191,8 +240,8 @@ def gnn_bp4_apply(
         return new_x, new_z
 
     def update_vn(h_cn_x, h_cn_z, h_vn):
-        feat_x = _vn_slot_features(h_cn_x, h_vn, gx)
-        feat_z = _vn_slot_features(h_cn_z, h_vn, gz)
+        feat_x = cat_attr(_vn_slot_features(h_cn_x, h_vn, gx), attrs and attrs["vn_msg_x"])
+        feat_z = cat_attr(_vn_slot_features(h_cn_z, h_vn, gz), attrs and attrs["vn_msg_z"])
         msg_x = _mlp(feat_x, params["vn_msg_mlp_x"], act)  # [m, dv, n_pad, B]
         msg_z = _mlp(feat_z, params["vn_msg_mlp_z"], act)
         # syndrome-signed messages (gnn.py:733-737)
@@ -200,6 +249,8 @@ def gnn_bp4_apply(
         msg_z = msg_z * syn_z_pm[gz.edge_cn_byslot][None]
         m_x = _reduce_slots(msg_x, gx.vn_mask, gx.vn_deg, cfg.reduce_op, axis_name)
         m_z = _reduce_slots(msg_z, gz.vn_mask, gz.vn_deg, cfg.reduce_op, axis_name)
+        # single VN node attribute, concatenated onto m_z only (gnn.py:748-750)
+        m_z = cat_attr(m_z, attrs and attrs["vn_node"])
         return _mlp(
             jnp.concatenate([m_x, m_z, h_vn], axis=0), params["vn_embed_mlp"], act
         )

@@ -75,3 +75,63 @@ def test_gnn_bp4_trains(setup):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("reduce_op", ["sum", "max", "min"])
+def test_gnn_bp4_reduce_ops(setup, reduce_op):
+    """All four aggregations of the reference (gnn.py:560-571) must produce
+    finite outputs (mean is exercised by the other tests)."""
+    from feedback_gnn_tpu.decoders.gnn_full import gnn_bp4_apply
+
+    graph, cfg, params, lrowsets = setup
+    cfg = cfg._replace(reduce_op=reduce_op)
+    b = 4
+    key = jax.random.PRNGKey(2)
+    sx = jax.random.bernoulli(key, 0.2, (graph.gx.num_cn, b)).astype(jnp.float32)
+    sz = jnp.zeros((graph.gz.num_cn, b))
+    x_hat, z_hat, _ = jax.jit(
+        lambda p, sx, sz: gnn_bp4_apply(p, graph, lrowsets, sx, sz, cfg, False)
+    )(params, sx, sz)
+    assert np.isfinite(np.asarray(x_hat)).all()
+    assert x_hat.shape == (graph.n_pad, b)
+    # padding rows must stay silent
+    assert (np.asarray(x_hat)[graph.n :] == np.asarray(x_hat)[graph.n]).all()
+
+
+def test_gnn_bp4_attributes_train(setup):
+    """Trainable node/edge attributes (gnn.py:519-531): forward works and
+    gradients reach every attribute tensor."""
+    from feedback_gnn_tpu.decoders.gnn_full import (
+        GNNBP4Config,
+        gnn_bp4_loss,
+        init_gnn_bp4,
+    )
+
+    graph, _, _, lrowsets = setup
+    cfg = GNNBP4Config(
+        num_iter=2,
+        num_embed_dims=8,
+        num_msg_dims=8,
+        num_hidden_units=16,
+        use_attributes=True,
+        node_attribute_dims=3,
+        msg_attribute_dims=2,
+    )
+    params = init_gnn_bp4(jax.random.PRNGKey(3), cfg, graph)
+    assert set(params["attributes"]) == {
+        "cn_msg_x", "cn_msg_z", "cn_node_x", "cn_node_z",
+        "vn_msg_x", "vn_msg_z", "vn_node",
+    }
+    n, b = graph.n, 4
+    key = jax.random.PRNGKey(4)
+    noise_x = jax.random.bernoulli(key, 0.1, (n, b)).astype(jnp.float32)
+    noise_z = jnp.zeros((n, b))
+    loss, grads = jax.jit(
+        jax.value_and_grad(
+            lambda p: gnn_bp4_loss(p, graph, lrowsets, cfg, noise_x, noise_z)
+        )
+    )(params)
+    assert np.isfinite(float(loss))
+    for name, g in grads["attributes"].items():
+        assert np.isfinite(np.asarray(g)).all(), name
+        assert np.abs(np.asarray(g)).sum() > 0, f"no gradient reaches {name}"
