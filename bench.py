@@ -48,8 +48,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+    from feedback_gnn_tpu.config import CODE_REGISTRY
     from feedback_gnn_tpu.decoders import CascadeConfig, init_feedback_gnn, sandwich_eval_step
-    from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
+    from feedback_gnn_tpu.decoders.gnn_feedback import load_weights
 
     batch = int(os.environ.get("BENCH_BATCH", 20480))
     p = float(os.environ.get("BENCH_P", 0.05))
@@ -58,12 +59,9 @@ def main():
     graph, qc = build_graph_cached()
     if os.environ.get("BENCH_NO_QC"):
         qc = None  # force the XLA gather path (A/B comparisons)
-    wpath = (
-        "/root/reference/sionna/fec/ldpc/weights/"
-        "feedback_GNN_n1270_k28_wt_10_80_iter_64_16_mixed.npy"
-    )
+    wpath = CODE_REGISTRY["n1270"]["weights"]
     if os.path.exists(wpath):
-        params = load_reference_weights(wpath)
+        params = load_weights(wpath)
     else:  # pragma: no cover
         params = init_feedback_gnn(jax.random.PRNGKey(0))
 

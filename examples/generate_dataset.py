@@ -52,10 +52,10 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     if args.hard:
-        from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
+        from feedback_gnn_tpu.decoders.gnn_feedback import load_weights
 
         assert args.coarse_weights, "--hard requires --coarse-weights"
-        params = load_reference_weights(args.coarse_weights)
+        params = load_weights(args.coarse_weights)
         miner = make_cascade_failure_miner(graph, params)
         prefix = f"{args.code}_hard"
     else:

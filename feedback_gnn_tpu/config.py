@@ -7,6 +7,7 @@ batch/shard layout, p-sweep and stopping targets.
 from __future__ import annotations
 
 import argparse
+import os
 from dataclasses import dataclass, field, asdict
 
 from .decoders.cascade import CascadeConfig
@@ -14,23 +15,30 @@ from .decoders.cascade import CascadeConfig
 __all__ = ["EvalConfig", "CODE_REGISTRY", "build_code", "make_eval_parser", "config_from_args"]
 
 
+_PKG_WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
+_REF_WEIGHTS = "/root/reference/sionna/fec/ldpc/weights"
+
+
+def _weight_path(stem: str) -> str:
+    """Package-local converted checkpoint, falling back to the reference
+    pickle if the local copy is missing (decoders.load_weights reads both)."""
+    local = os.path.join(_PKG_WEIGHTS, stem + ".npz")
+    return local if os.path.exists(local) else os.path.join(_REF_WEIGHTS, stem + ".npy")
+
+
 # name -> (constructor import path description, weight file of the shipped
 # trained GNN, default nG)
 CODE_REGISTRY = {
     "n882": {
         "builder": "ghp_882_24",
-        "weights": "/root/reference/sionna/fec/ldpc/weights/"
-        "feedback_GNN_n882_k24_wt_4_60_iter_64_16_mixed.npy",
-        "coarse_weights": "/root/reference/sionna/fec/ldpc/weights/"
-        "feedback_GNN_n882_k24_wt_4_40_iter_16_16.npy",
+        "weights": _weight_path("feedback_GNN_n882_k24_wt_4_60_iter_64_16_mixed"),
+        "coarse_weights": _weight_path("feedback_GNN_n882_k24_wt_4_40_iter_16_16"),
         "nG": 5,
     },
     "n1270": {
         "builder": "ghp_1270_28",
-        "weights": "/root/reference/sionna/fec/ldpc/weights/"
-        "feedback_GNN_n1270_k28_wt_10_80_iter_64_16_mixed.npy",
-        "coarse_weights": "/root/reference/sionna/fec/ldpc/weights/"
-        "feedback_GNN_n1270_k28_wt_10_60_iter_16_16.npy",
+        "weights": _weight_path("feedback_GNN_n1270_k28_wt_10_80_iter_64_16_mixed"),
+        "coarse_weights": _weight_path("feedback_GNN_n1270_k28_wt_10_60_iter_16_16"),
         "nG": 5,
     },
 }

@@ -5,6 +5,7 @@ from .gnn_feedback import (
     init_feedback_gnn,
     feedback_gnn_apply,
     load_reference_weights,
+    load_weights,
     save_reference_weights,
 )
 from .cascade import CascadeConfig, sandwich_decode, sandwich_eval_step, prior_llr

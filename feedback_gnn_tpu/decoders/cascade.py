@@ -110,6 +110,7 @@ def sandwich_decode(
     gt_sz,
     axis_name: str | None = None,
     qc=None,
+    with_overflow: bool = False,
 ):
     """Decode given syndromes.  ``gt_sx``/``gt_sz`` are the target syndromes
     the estimate must reproduce (for the still-flagged tracking,
@@ -118,7 +119,11 @@ def sandwich_decode(
     ``qc`` (a codes.qc.QCPair) switches the BP runs onto the fused Pallas
     kernel (decoders/bp4_qc.py) — only valid un-sharded (axis_name None).
 
-    Returns (x_hat, z_hat) int32 [n, B].
+    Returns (x_hat, z_hat) int32 [n, B]; with ``with_overflow`` also an int32
+    scalar counting flagged samples that did not fit the compaction capacity
+    (those keep their earlier estimate — fail-safe but pessimistic; a
+    nonzero count means compact_fraction / round_fraction is undersized
+    for this operating point).
     """
     hz = jnp.asarray(graph.hz)
     hx = jnp.asarray(graph.hx)
@@ -207,9 +212,10 @@ def sandwich_decode(
             "round_fraction requires compact_fraction (the second-level "
             "subset is taken from the first-level one)"
         )
-        return gnn_rounds(
+        out = gnn_rounds(
             res, x_hat, z_hat, syndrome_x, syndrome_z, gt, jnp.ones(b, bool)
         )
+        return out + (jnp.int32(0),) if with_overflow else out
 
     # ---- flagged-sample compaction (see CascadeConfig.compact_fraction) ----
     assert axis_name is None, "compaction requires unsharded rows"
@@ -239,6 +245,9 @@ def sandwich_decode(
         sub_res = type(res)(*[take(f) if f is not None else None for f in res])
         x_s, z_s = take(x_hat), take(z_hat)
 
+    # samples flagged after stage 1 but beyond the level-1 capacity
+    overflow = jnp.sum(flags0.astype(jnp.int32)) - jnp.sum(valid.astype(jnp.int32))
+
     if cfg.round_fraction is not None:
         # second compaction level: the GNN rounds only act on samples still
         # flagged AFTER the full stage-1 schedule (~2.8 % at p=0.05 vs the
@@ -250,6 +259,9 @@ def sandwich_decode(
         order2 = jnp.argsort(jnp.logical_not(flags1), stable=True)
         idx2 = order2[:cap2]
         valid2 = flags1[idx2]
+        overflow = overflow + (
+            jnp.sum(flags1.astype(jnp.int32)) - jnp.sum(valid2.astype(jnp.int32))
+        )
 
         def take2(a):
             return jnp.take(a, idx2, axis=-1)
@@ -267,6 +279,8 @@ def sandwich_decode(
         x_sub, z_sub = gnn_rounds(sub_res, x_s, z_s, syn_x_s, syn_z_s, gt_s, valid)
     x_hat = x_hat.at[:, idx].set(x_sub)
     z_hat = z_hat.at[:, idx].set(z_sub)
+    if with_overflow:
+        return x_hat, z_hat, overflow
     return x_hat, z_hat
 
 
@@ -282,6 +296,7 @@ def sandwich_eval_step(
     data_axis: str | None = None,
     return_full: bool = False,
     qc=None,
+    return_overflow: bool = False,
 ):
     """Full Monte-Carlo evaluation step: sample channel, compute syndromes,
     run the cascade, return error accounting.
@@ -295,7 +310,9 @@ def sandwich_eval_step(
     ``batch`` is the per-shard local batch size.
 
     Returns (flagged_count, logical_count) or, with ``return_full``,
-    (s_hat [mz+mx, B], ls_hat [Rx+Rz, B]) batch-first.
+    (s_hat [mz+mx, B], ls_hat [Rx+Rz, B]) batch-first.  With
+    ``return_overflow`` a third scalar counts compaction-capacity overflow
+    (see ``sandwich_decode``); ``sim_ler`` accepts and reports it.
     """
     n = graph.n
     n_pad = graph.n_pad
@@ -319,7 +336,7 @@ def sandwich_eval_step(
     gt_sz = mod2_matmul(hx, noise_z)  # [mx, B]
 
     llr0 = prior_llr(cfg.p0, n, batch, n_pad=n_pad)
-    x_hat, z_hat = sandwich_decode(
+    dec = sandwich_decode(
         graph,
         gnn_params_list,
         cfg,
@@ -330,7 +347,9 @@ def sandwich_eval_step(
         gt_sz,
         axis_name=axis_name,
         qc=qc,
+        with_overflow=return_overflow,
     )
+    x_hat, z_hat = dec[0], dec[1]
 
     # residuals and final accounting (feedback_gnn.py:343-361)
     x_diff = jnp.bitwise_xor(noise_x.astype(jnp.int32), x_hat)
@@ -364,4 +383,6 @@ def sandwich_eval_step(
         # batch sharded over the data axis: sum counts across shards
         flagged_count = jax.lax.psum(flagged_count, data_axis)
         logical_count = jax.lax.psum(logical_count, data_axis)
+    if return_overflow:
+        return flagged_count, logical_count, dec[2]
     return flagged_count, logical_count

@@ -37,6 +37,7 @@ __all__ = [
     "feedback_gnn_apply",
     "load_reference_weights",
     "save_reference_weights",
+    "load_weights",
 ]
 
 
@@ -213,6 +214,26 @@ def load_reference_weights(path: str):
         ],
         "embed_mlp": [{"kernel": w[10], "bias": w[11]}],
     }
+
+
+def load_weights(path: str):
+    """Load feedback-GNN params from either format: ``.npz`` native pytree
+    checkpoints (io/checkpoint.py — the converted copies shipped in
+    feedback_gnn_tpu/weights/) or the reference's 12-array pickles."""
+    if path.endswith(".npz"):
+        data = np.load(path, allow_pickle=False)
+        g = lambda k: jnp.asarray(data[k], jnp.float32)  # noqa: E731
+        return {
+            "llr_inv_embed": {"kernel": g("llr_inv_embed/kernel"),
+                              "bias": g("llr_inv_embed/bias")},
+            "msg_mlp_x": [{"kernel": g(f"msg_mlp_x/{i}/kernel"),
+                           "bias": g(f"msg_mlp_x/{i}/bias")} for i in range(2)],
+            "msg_mlp_z": [{"kernel": g(f"msg_mlp_z/{i}/kernel"),
+                           "bias": g(f"msg_mlp_z/{i}/bias")} for i in range(2)],
+            "embed_mlp": [{"kernel": g("embed_mlp/0/kernel"),
+                           "bias": g("embed_mlp/0/bias")}],
+        }
+    return load_reference_weights(path)
 
 
 def save_reference_weights(params, path: str):

@@ -50,6 +50,7 @@ class SimResult:
     runtime: np.ndarray
     status: np.ndarray  # 0 not simulated, 1 max-iter, 2 early-stop, 4 target reached
     throughput: np.ndarray = field(default=None)  # blocks/s per point
+    overflow: np.ndarray = field(default=None)  # compaction overflows per point
 
     def summary(self) -> str:
         status_txt = {
@@ -88,7 +89,10 @@ def sim_ler(
 
     ``step_fn(key, p) -> (flagged_count, logical_count)`` must be a jitted
     callable returning int32 scalars for one batch of ``batch_size`` samples
-    (see ``decoders.cascade.sandwich_eval_step``).
+    (see ``decoders.cascade.sandwich_eval_step``).  An optional third scalar
+    is the compaction-overflow count (``return_overflow=True``); any nonzero
+    total is reported loudly, since overflowed samples are counted flagged
+    with their pre-compaction estimate (pessimistic, never optimistic).
     """
     ps = np.asarray(ps, np.float64)
     npts = len(ps)
@@ -99,13 +103,15 @@ def sim_ler(
         "iters": np.zeros(npts, np.int64),
         "runtime": np.zeros(npts, np.float64),
         "status": np.zeros(npts, np.int64),
+        "overflow": np.zeros(npts, np.int64),
     }
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path) as f:
             saved = json.load(f)
         if saved.get("ps") == list(ps) and saved.get("batch_size") == batch_size:
             for k in state:
-                state[k] = np.asarray(saved[k], dtype=state[k].dtype)
+                if k in saved:  # tolerate checkpoints from older versions
+                    state[k] = np.asarray(saved[k], dtype=state[k].dtype)
             if verbose:
                 print(f"resumed MC state from {checkpoint_path}")
 
@@ -139,7 +145,10 @@ def sim_ler(
             t0 = time.perf_counter() - state["runtime"][i]
             for it in range(int(state["iters"][i]), int(max_mc_iter)):
                 key = jax.random.fold_in(point_key, it)
-                flagged, logical = step_fn(key, ps[i])
+                out = step_fn(key, ps[i])
+                flagged, logical = out[0], out[1]
+                if len(out) > 2:
+                    state["overflow"][i] += int(out[2])
                 state["flagged"][i] += int(flagged)
                 state["logical"][i] += int(logical)
                 state["blocks"][i] += batch_size
@@ -170,6 +179,12 @@ def sim_ler(
                 state["status"][i] = 1
             if verbose:
                 print()
+            if state["overflow"][i] and verbose:
+                print(
+                    f"WARNING: {state['overflow'][i]} compaction-capacity "
+                    f"overflows at p={ps[i]:.4g} — results are pessimistic; "
+                    "raise --compact/--rounds-cap or disable compaction"
+                )
             if early_stop and state["logical"][i] == 0:
                 state["status"][i] = 2
                 if verbose:
@@ -192,4 +207,5 @@ def sim_ler(
         runtime=state["runtime"],
         status=state["status"],
         throughput=state["blocks"] / np.maximum(state["runtime"], 1e-9),
+        overflow=state["overflow"],
     )

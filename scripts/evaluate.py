@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from feedback_gnn_tpu.config import build_code, config_from_args, make_eval_parser
 from feedback_gnn_tpu.codes.graph import QuantumGraph
 from feedback_gnn_tpu.decoders import sandwich_eval_step
-from feedback_gnn_tpu.decoders.gnn_feedback import load_reference_weights
+from feedback_gnn_tpu.decoders.gnn_feedback import load_weights
 from feedback_gnn_tpu.sim import PlotLER
 
 
@@ -35,7 +35,7 @@ def run(cfg):
     print(f"building code {cfg.code} ...")
     code = build_code(cfg.code)
     graph = QuantumGraph.from_code(code, stage_mode=True)
-    params = load_reference_weights(cfg.resolve_weights())
+    params = load_weights(cfg.resolve_weights())
     print(f"{code}: cascade {cfg.cascade}")
 
     if cfg.data_shards * cfg.edge_shards > 1:
@@ -66,10 +66,13 @@ def run(cfg):
             qc = qc_pair_from_code(code)
             assert qc is not None, "code has no block-circulant structure"
 
+        track_overflow = bool(cfg.cascade.compact_fraction)
+
         @jax.jit
         def step(key, p):
             return sandwich_eval_step(
-                graph, [params], cfg.cascade, key, p, cfg.batch_size, qc=qc
+                graph, [params], cfg.cascade, key, p, cfg.batch_size, qc=qc,
+                return_overflow=track_overflow,
             )
 
     plot = PlotLER(title=f"{code.name} feedback-GNN cascade")

@@ -52,7 +52,7 @@ def main():
     from feedback_gnn_tpu.codes.graph import QuantumGraph
     from feedback_gnn_tpu.decoders.gnn_feedback import (
         init_feedback_gnn,
-        load_reference_weights,
+        load_weights,
         save_reference_weights,
     )
     from feedback_gnn_tpu.train import (
@@ -70,7 +70,7 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     if args.weights_in:
-        params = load_reference_weights(args.weights_in)
+        params = load_weights(args.weights_in)
     else:
         params = init_feedback_gnn(key)
 

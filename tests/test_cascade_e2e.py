@@ -147,3 +147,35 @@ def test_sim_ler_checkpoint_resume(tmp_path):
         checkpoint_path=ckpt,
     )
     assert res2.num_blocks[0] == res1.num_blocks[0] == 50
+
+
+def test_overflow_counter(small_code):
+    """return_overflow: an undersized compaction capacity must report a
+    positive overflow count, a full-capacity run zero (and fewer flags)."""
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.decoders import (
+        CascadeConfig,
+        init_feedback_gnn,
+        sandwich_eval_step,
+    )
+
+    graph = QuantumGraph.from_code(small_code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(0))
+    key, p, b = jax.random.PRNGKey(1), jnp.float32(0.15), 256
+
+    def run(compact):
+        cfg = CascadeConfig(
+            num_iter1=8, num_iter2=4, num_rounds=1, compact_fraction=compact
+        )
+        return jax.jit(
+            lambda k, pp: sandwich_eval_step(
+                graph, [params], cfg, k, pp, b, return_overflow=True
+            )
+        )(key, p)
+
+    f_tiny, _, ov_tiny = run(0.02)
+    f_full, _, ov_full = run(1.0)
+    assert int(ov_tiny) > 0
+    assert int(ov_full) == 0
+    # overflowed samples keep the stage-1 estimate: pessimistic, never better
+    assert int(f_full) <= int(f_tiny)

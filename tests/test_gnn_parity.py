@@ -83,3 +83,39 @@ def test_shipped_weights_import():
         params = load_reference_weights(os.path.join(base, f))
         assert params["llr_inv_embed"]["kernel"].shape == (40, 3)
         assert params["embed_mlp"][0]["kernel"].shape == (43, 40)
+
+
+def test_converted_npz_weights_match_reference_pickles():
+    """The npz checkpoints shipped in feedback_gnn_tpu/weights/ must be
+    bit-identical to the reference pickles they were converted from."""
+    import glob
+    import os
+
+    import jax
+    import numpy as np
+
+    from feedback_gnn_tpu.decoders.gnn_feedback import (
+        load_reference_weights,
+        load_weights,
+    )
+
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "feedback_gnn_tpu", "weights")
+    ref = "/root/reference/sionna/fec/ldpc/weights"
+    npzs = sorted(glob.glob(os.path.join(pkg, "*.npz")))
+    assert len(npzs) == 4
+    checked = 0
+    for npz in npzs:
+        stem = os.path.splitext(os.path.basename(npz))[0]
+        pkl = os.path.join(ref, stem + ".npy")
+        if not os.path.exists(pkl):
+            continue
+        a = load_weights(npz)
+        b = load_reference_weights(pkl)
+        for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        checked += 1
+    if checked == 0:
+        import pytest
+
+        pytest.skip("reference pickles unavailable")
