@@ -45,6 +45,12 @@ def build_zoo():
     zoo["GB [[254,28]]"] = create_generalized_bicycle_codes(
         127, [0, 15, 20, 28, 66], [0, 58, 59, 100, 121]
     )
+    # overcomplete check matrices of [2] (shipped data assets; the redundant
+    # rows improve BP convergence — QLDPC.ipynb cell 11 "solid curves")
+    from feedback_gnn_tpu.codes import gb_n46_k2_d9_oc, gb_n48_k6_d8_oc
+
+    zoo["GB [[48,6,8]] overcomplete"] = gb_n48_k6_d8_oc()
+    zoo["GB [[46,2,9]] overcomplete"] = gb_n46_k2_d9_oc()
     zoo["GHP [[882,24]]"] = create_QC_GHP_codes(
         63, create_cyclic_permuting_matrix(7, [27, 54, 0]), [0, 1, 6]
     )

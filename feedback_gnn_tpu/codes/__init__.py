@@ -21,6 +21,8 @@ from .css import (
     create_cyclic_permuting_matrix,
     create_bivariate_QC_codes,
     read_alist,
+    gb_n48_k6_d8_oc,
+    gb_n46_k2_d9_oc,
     ghp_882_24,
     ghp_1270_28,
 )

@@ -13,6 +13,7 @@ built from these matrices in :mod:`feedback_gnn_tpu.codes.graph`.
 
 from __future__ import annotations
 
+import os
 from functools import reduce as _reduce
 
 import numpy as np
@@ -41,6 +42,8 @@ __all__ = [
     "create_cyclic_permuting_matrix",
     "create_bivariate_QC_codes",
     "read_alist",
+    "gb_n48_k6_d8_oc",
+    "gb_n46_k2_d9_oc",
 ]
 
 
@@ -327,6 +330,29 @@ def read_alist(path: str) -> np.ndarray:
 
 
 # Convenience: the two headline paper codes
+def _load_data_pcm(name: str) -> np.ndarray:
+    """Load a shipped check matrix (codes/data/*.npz — converted from the
+    reference's alist assets sionna/fec/ldpc/codes_q/, SURVEY.md §2.1)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", name + ".npz")
+    return np.load(path)["pcm"].astype(int)
+
+
+def gb_n48_k6_d8_oc() -> CSSCode:
+    """[[48,6,8]] GB code with the OVERCOMPLETE 2000-row check matrices of
+    [Panteleev-Kalachev]; reproduces QLDPC.ipynb cell 5 (GB_n48_k6_d8_oc)."""
+    pcm = _load_data_pcm("GB_48_6_H_2000")
+    code = CSSCode(pcm[:1000], pcm[1000:], name="GB_n48_k6_d8_oc")
+    return code
+
+
+def gb_n46_k2_d9_oc() -> CSSCode:
+    """[[46,2,9]] GB code with the overcomplete 800-row check matrices
+    (QLDPC.ipynb cell 5, GB_n46_k2_d9_oc)."""
+    pcm = _load_data_pcm("GB_46_2_H_800")
+    code = CSSCode(pcm[:400], pcm[400:], name="GB_n46_k2_d9_oc")
+    return code
+
+
 def ghp_882_24() -> CSSCode:
     """The [[882,24]] QC-GHP code of arXiv:2310.17758 (n882.py:34)."""
     return create_QC_GHP_codes(

@@ -143,3 +143,25 @@ def test_rowset(small_code):
         assert set(cols) == set(np.nonzero(pcm[r])[0])
     assert (rs.row_valid[: rs.num_rows] == 1).all()
     assert (rs.row_valid[rs.num_rows :] == 0).all()
+
+
+def test_overcomplete_gb_codes():
+    """Shipped overcomplete check matrices (QLDPC.ipynb cell 5): same code
+    parameters as the square constructions, but redundant rows (more checks
+    than rank) for better BP convergence."""
+    from feedback_gnn_tpu.codes import (
+        create_generalized_bicycle_codes,
+        gb_n46_k2_d9_oc,
+        gb_n48_k6_d8_oc,
+    )
+
+    oc48 = gb_n48_k6_d8_oc()
+    sq48 = create_generalized_bicycle_codes(24, [0, 2, 8, 15], [0, 2, 12, 17])
+    assert (oc48.N, oc48.K) == (sq48.N, sq48.K) == (48, 6)
+    assert oc48.hx.shape[0] == 1000 and oc48.rank_hx == sq48.rank_hx
+    # overcomplete rows are all parity checks: orthogonal to the logicals
+    assert not ((oc48.hx @ oc48.lz.T) % 2).any()
+
+    oc46 = gb_n46_k2_d9_oc()
+    assert (oc46.N, oc46.K) == (46, 2)
+    assert oc46.hx.shape[0] == 400
