@@ -99,12 +99,19 @@ def main():
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-batch: {compile_s:.1f}s  device={jax.devices()[0]}", file=sys.stderr)
 
+    import contextlib
+
+    profile_dir = os.environ.get("BENCH_PROFILE")  # jax.profiler trace dir
+    prof = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        out = step(jax.random.fold_in(key, i + 1), jnp.float32(p))
-    # force value materialisation: on remote-dispatch backends
-    # block_until_ready alone does not synchronise execution
-    _ = (int(out[0]), int(out[1]))
+    with prof:
+        for i in range(n_timed):
+            out = step(jax.random.fold_in(key, i + 1), jnp.float32(p))
+        # force value materialisation: on remote-dispatch backends
+        # block_until_ready alone does not synchronise execution
+        _ = (int(out[0]), int(out[1]))
     dt = time.perf_counter() - t0
 
     syndromes_per_s = batch * n_timed / dt

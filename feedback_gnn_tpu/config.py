@@ -64,6 +64,7 @@ class EvalConfig:
     data_shards: int = 1  # mesh layout
     edge_shards: int = 1
     qc_kernel: bool = False  # fused Pallas BP backend
+    multihost: bool = False  # jax.distributed across hosts (DCN)
 
     def resolve_weights(self) -> str:
         return self.weights or CODE_REGISTRY[self.code]["weights"]
@@ -95,6 +96,9 @@ def make_eval_parser() -> argparse.ArgumentParser:
                     help="MC-state JSON for interrupt/resume")
     ap.add_argument("--data-shards", type=int, default=1)
     ap.add_argument("--edge-shards", type=int, default=1)
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialise jax.distributed (multi-host DCN); the "
+                    "mesh then spans all hosts' devices")
     ap.add_argument("--qc-kernel", action="store_true",
                     help="use the fused Pallas BP kernel (block-circulant "
                     "codes, single shard)")
@@ -136,4 +140,5 @@ def config_from_args(args) -> EvalConfig:
         data_shards=args.data_shards,
         edge_shards=args.edge_shards,
         qc_kernel=args.qc_kernel,
+        multihost=args.multihost,
     )

@@ -50,6 +50,11 @@ class GNNBP4Config(NamedTuple):
     use_attributes: bool = False
     node_attribute_dims: int = 0
     msg_attribute_dims: int = 0
+    # what the per-iteration stack contains (gnn.py:407-412):
+    # "boxplus-phi" -> (x_perp_logit, z_perp_logit) check/logical logits;
+    # "sine" -> (p_x, p_z) per-qubit error probabilities via cal_prob
+    # (gnn.py:317-332; the reference ships no training consumer for it)
+    loss_type: str = "boxplus-phi"
 
 
 def _act(name):
@@ -164,6 +169,17 @@ def _cal_logit(params, graph: QuantumGraph, lrowsets, h_vn):
     return hx_logit, hz_logit, x_perp_logit, z_perp_logit, (llrx, llry, llrz)
 
 
+def _cal_prob(params, h_vn):
+    """Per-qubit error probabilities p'_X, p'_Z from the embeddings — the
+    "sine"-loss observable (gnn.py:317-332): sigmoid of the negated binary
+    marginal LLRs."""
+    emb = dense_bl(
+        h_vn, params["llr_inv_embed"]["kernel"], params["llr_inv_embed"].get("bias")
+    )
+    llr_x, llr_z = quaternary_to_binary_llrs(emb[0], emb[1], emb[2])
+    return jax.nn.sigmoid(-llr_x), jax.nn.sigmoid(-llr_z)
+
+
 def make_logit_rowsets(graph: QuantumGraph):
     """RowSets for cal_logit: hx, hz, lx, lz rows (gnn.py:304-313).
 
@@ -268,7 +284,10 @@ def gnn_bp4_apply(
             params, graph, lrowsets, h_vn
         )
         if collect_logits:
-            stack.append((x_perp, z_perp))
+            if cfg.loss_type == "sine":
+                stack.append(_cal_prob(params, h_vn))
+            else:
+                stack.append((x_perp, z_perp))
         if i == cfg.num_iter - 1:
             break
         h_cn_x, h_cn_z = update_cn(

@@ -32,11 +32,18 @@ from feedback_gnn_tpu.sim import PlotLER
 
 
 def run(cfg):
-    print(f"building code {cfg.code} ...")
+    if getattr(cfg, "multihost", False):
+        from feedback_gnn_tpu.parallel import init_distributed
+
+        init_distributed()
+    proc0 = jax.process_index() == 0
+    if proc0:
+        print(f"building code {cfg.code} ...")
     code = build_code(cfg.code)
     graph = QuantumGraph.from_code(code, stage_mode=True)
     params = load_weights(cfg.resolve_weights())
-    print(f"{code}: cascade {cfg.cascade}")
+    if proc0:
+        print(f"{code}: cascade {cfg.cascade}")
 
     if cfg.data_shards * cfg.edge_shards > 1:
         from feedback_gnn_tpu.parallel import (
@@ -84,10 +91,12 @@ def run(cfg):
         num_target_block_errors=cfg.num_target_block_errors,
         legend=f"nG={cfg.cascade.num_rounds} f={cfg.cascade.factor1}",
         seed=cfg.seed,
-        checkpoint_path=cfg.checkpoint,
+        verbose=proc0,
+        checkpoint_path=cfg.checkpoint if proc0 else None,
     )
-    print()
-    print(result.summary())
+    if proc0:
+        print()
+        print(result.summary())
     return result
 
 

@@ -135,3 +135,20 @@ def test_gnn_bp4_attributes_train(setup):
     for name, g in grads["attributes"].items():
         assert np.isfinite(np.asarray(g)).all(), name
         assert np.abs(np.asarray(g)).sum() > 0, f"no gradient reaches {name}"
+
+
+def test_gnn_bp4_sine_stack(setup):
+    """loss_type='sine' collects per-qubit (p_x, p_z) probabilities
+    (gnn.py:317-332, 410-412) instead of the boxplus check logits."""
+    from feedback_gnn_tpu.decoders.gnn_full import gnn_bp4_apply
+
+    graph, cfg, params, lrowsets = setup
+    cfg = cfg._replace(loss_type="sine", num_iter=2)
+    b = 4
+    sx = jnp.zeros((graph.gx.num_cn, b))
+    sz = jnp.zeros((graph.gz.num_cn, b))
+    _, _, stack = gnn_bp4_apply(params, graph, lrowsets, sx, sz, cfg, True)
+    assert len(stack) == 2
+    p_x, p_z = stack[0]
+    assert p_x.shape == (graph.gx.n_pad, b)
+    assert (np.asarray(p_x) >= 0).all() and (np.asarray(p_x) <= 1).all()
