@@ -315,6 +315,13 @@ def gnn_bp4_loss(
     from ..ops.gf2mat import mod2_matmul
     from ..train.loss import bce_with_logits
 
+    # with loss_type='sine' the collected stack holds [n_pad, B]
+    # probabilities, not perp-row logits — the BCE below would mismatch
+    assert cfg.loss_type == "boxplus-phi", (
+        f"gnn_bp4_loss requires loss_type='boxplus-phi' (per-iteration perp "
+        f"logits); got {cfg.loss_type!r}"
+    )
+
     # pad noise to the aligned layout
     n, n_pad = graph.n, graph.gx.n_pad
     noise_x = jnp.pad(noise_x.astype(jnp.int32), ((0, n_pad - noise_x.shape[0]), (0, 0)))

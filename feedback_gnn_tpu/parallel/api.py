@@ -44,8 +44,12 @@ def make_sharded_eval_step(
     local_batch: int,
     wt: int | None = None,
     qc=None,
+    return_overflow: bool = False,
 ):
     """Jitted (key, p) -> (flagged_count, logical_count) over the mesh.
+    With ``return_overflow`` a third scalar counts compaction-capacity
+    overflows summed over the data shards (compaction itself requires
+    edge=1, matching ``sandwich_decode``'s unsharded-rows assertion).
 
     ``stacked_graph`` comes from shard_quantum_graph(graph,
     mesh.shape['edge']).  Each data shard simulates ``local_batch`` samples;
@@ -62,7 +66,7 @@ def make_sharded_eval_step(
 
     def inner(graph_stacked, params_list, key, p):
         graph = unstack_shard(graph_stacked)
-        flagged, logical = sandwich_eval_step(
+        out = sandwich_eval_step(
             graph,
             params_list,
             cfg,
@@ -73,20 +77,27 @@ def make_sharded_eval_step(
             axis_name=edge_axis,
             data_axis="data",
             qc=qc,
+            return_overflow=return_overflow,
         )
+        flagged, logical = out[0], out[1]
+        overflow = jax.lax.psum(out[2], "data") if return_overflow else None
         if edge_axis is None:
             # edge axis of size 1: the graph arrays still carry {edge}
             # variance; this identity psum declares the (trivially)
             # replicated counts invariant for check_vma
             flagged = jax.lax.psum(flagged, "edge")
             logical = jax.lax.psum(logical, "edge")
+            if return_overflow:
+                overflow = jax.lax.psum(overflow, "edge")
+        if return_overflow:
+            return flagged, logical, overflow
         return flagged, logical
 
     mapped = shard_map(
         inner,
         mesh=mesh,
         in_specs=(_graph_spec(stacked_graph), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()) if return_overflow else (P(), P()),
         # vma inference cannot see through the Pallas kernel body (ops
         # inside the kernel mix traced inputs with kernel-local constants),
         # so the QC backend runs with the check disabled — numerics are
@@ -148,6 +159,14 @@ def make_sharded_train_step(
             logical = jax.lax.psum(logical.astype(jnp.int32), edge_axis) > 0
         flagged_bler = jax.lax.pmean(jnp.mean(flagged.astype(jnp.float32)), "data")
         bler = jax.lax.pmean(jnp.mean(logical.astype(jnp.float32)), "data")
+        if edge_axis is None:
+            # edge axis of size 1: graph arrays carry {edge} variance —
+            # identity pmeans declare the (trivially) replicated scalars
+            # and grads invariant for check_vma (cf. make_sharded_eval_step)
+            loss, flagged_bler, bler = jax.lax.pmean(
+                (loss, flagged_bler, bler), "edge"
+            )
+            grads = jax.lax.pmean(grads, "edge")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, flagged_bler, bler

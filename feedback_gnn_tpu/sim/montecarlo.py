@@ -84,6 +84,8 @@ def sim_ler(
     verbose: bool = True,
     checkpoint_path: str | None = None,
     checkpoint_every_s: float = 60.0,
+    write_checkpoint: bool = True,
+    fold_process_key: bool = True,
 ) -> SimResult:
     """Simulate each p in ``ps`` until the stop condition.
 
@@ -93,6 +95,15 @@ def sim_ler(
     is the compaction-overflow count (``return_overflow=True``); any nonzero
     total is reported loudly, since overflowed samples are counted flagged
     with their pre-compaction estimate (pessimistic, never optimistic).
+
+    Multi-process (``jax.distributed``) runs over a GLOBAL mesh must pass
+    the same ``checkpoint_path`` to EVERY process (counts are psum-ed inside
+    the step, so the restored state is identical everywhere and every
+    process takes the same stop decision) with ``write_checkpoint`` True on
+    process 0 only, and ``fold_process_key=False`` — the jitted step's key
+    is a replicated input and per-shard stream diversity already comes from
+    ``fold_in(axis_index)`` inside the step.  ``fold_process_key=True`` is
+    for *independent* per-process sweeps (no shared mesh).
     """
     ps = np.asarray(ps, np.float64)
     npts = len(ps)
@@ -115,11 +126,13 @@ def sim_ler(
             if verbose:
                 print(f"resumed MC state from {checkpoint_path}")
 
-    base_key = jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
+    base_key = jax.random.PRNGKey(seed)
+    if fold_process_key:
+        base_key = jax.random.fold_in(base_key, jax.process_index())
     last_ckpt = time.perf_counter()
 
     def save_ckpt():
-        if not checkpoint_path:
+        if not checkpoint_path or not write_checkpoint:
             return
         payload = {k: v.tolist() for k, v in state.items()}
         payload["ps"] = list(ps)

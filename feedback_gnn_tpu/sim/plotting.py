@@ -51,6 +51,8 @@ class PlotLER:
         verbose=True,
         show_fig=False,
         checkpoint_path=None,
+        write_checkpoint=True,
+        fold_process_key=True,
     ):
         """Run the MC sweep and store the resulting curve(s).  Returns the
         SimResult (reference returns (ber, bler))."""
@@ -64,6 +66,8 @@ class PlotLER:
             seed=seed,
             verbose=verbose,
             checkpoint_path=checkpoint_path,
+            write_checkpoint=write_checkpoint,
+            fold_process_key=fold_process_key,
         )
         if add_flagged:
             self.add(ps, result.flagged_rate, legend + " (flagged)", is_ler=False)

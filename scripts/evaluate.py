@@ -61,9 +61,11 @@ def run(cfg):
 
             qc = qc_pair_from_code(code)
             assert qc is not None, "code has no block-circulant structure"
+        track_overflow = bool(cfg.cascade.compact_fraction)
         step = make_sharded_eval_step(
             mesh, stacked, [params], cfg.cascade,
             cfg.batch_size // cfg.data_shards, qc=qc,
+            return_overflow=track_overflow,
         )
     else:
         qc = None
@@ -92,7 +94,16 @@ def run(cfg):
         legend=f"nG={cfg.cascade.num_rounds} f={cfg.cascade.factor1}",
         seed=cfg.seed,
         verbose=proc0,
-        checkpoint_path=cfg.checkpoint if proc0 else None,
+        # every process READS the checkpoint (state is identical everywhere:
+        # counts are psum-ed inside the step, so restored iteration counts
+        # and stop decisions agree — mismatched counts would deadlock the
+        # per-step collectives); only process 0 WRITES it
+        checkpoint_path=cfg.checkpoint,
+        write_checkpoint=proc0,
+        # on a global multi-host mesh the key is a replicated jit input;
+        # per-shard stream diversity comes from fold_in(axis_index) inside
+        # sandwich_eval_step
+        fold_process_key=not getattr(cfg, "multihost", False),
     )
     if proc0:
         print()

@@ -45,7 +45,10 @@ def main():
     ap.add_argument("-bs", "--batch-size", type=int, default=20480)
     ap.add_argument("--batches", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--qc-kernel", action="store_true", default=True)
+    ap.add_argument("--qc-kernel", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="use the fused Pallas BP kernel (--no-qc-kernel "
+                    "falls back to the XLA BP path)")
     args = ap.parse_args()
 
     from feedback_gnn_tpu.channels.pauli import depolarizing_probs, pauli_iid
@@ -58,19 +61,27 @@ def main():
 
     code = build_code(args.code)
     graph = QuantumGraph.from_code(code, stage_mode=True)
-    qc = qc_pair_from_code(code)
-    assert qc is not None
 
     n, n_pad, b = graph.n, graph.n_pad, args.batch_size
     hx, hz = jnp.asarray(graph.hx), jnp.asarray(graph.hz)
     hx_perp = jnp.asarray(graph.hx_perp)
     hz_perp = jnp.asarray(graph.hz_perp)
 
-    def run_bp(llr, sx, sz, iters):
-        return bp4_decode_qc(
-            graph, qc, llr, sx, sz, iters, "boxplus-phi", 1.0,
-            batch_tile=128, need_logits=False,
-        )
+    if args.qc_kernel:
+        qc = qc_pair_from_code(code)
+        assert qc is not None, "code has no block-circulant structure"
+
+        def run_bp(llr, sx, sz, iters):
+            return bp4_decode_qc(
+                graph, qc, llr, sx, sz, iters, "boxplus-phi", 1.0,
+                batch_tile=128, need_logits=False,
+            )
+
+    else:
+        from feedback_gnn_tpu.decoders.bp4 import bp4_decode
+
+        def run_bp(llr, sx, sz, iters):
+            return bp4_decode(graph, llr, sx, sz, iters, "boxplus-phi", 1.0)
 
     @jax.jit
     def step(key, p):
@@ -136,6 +147,8 @@ def main():
     print(f"re-flagged at {args.iters1}         : {reflag}")
     print(f"logical errors @{args.prepass}/[@{args.iters1}] among converged: "
           f"{log_k} / {log_full}")
+    print(f"net LER bias of the prepass: ({log_k} - {log_full}) / {samples} "
+          f"= {(log_k - log_full) / samples:+.3g}")
 
 
 if __name__ == "__main__":

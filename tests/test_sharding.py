@@ -283,3 +283,49 @@ def test_data_sharded_eval_with_qc_kernel():
         tot_f += int(ff)
         tot_l += int(ll)
     assert int(f) == tot_f and int(lg) == tot_l
+
+
+def test_data_sharded_eval_overflow_plumbed(setup):
+    """Compaction-overflow is threaded through make_sharded_eval_step:
+    an undersized capacity must report a nonzero psum-ed overflow count
+    (ADVICE r2: previously silently untracked in multi-chip runs)."""
+    import dataclasses
+
+    from feedback_gnn_tpu.parallel import (
+        make_mesh,
+        make_sharded_eval_step,
+        shard_quantum_graph,
+    )
+
+    graph, params, cfg = setup
+    # tiny capacity at a high flagged-rate operating point -> overflow
+    cfg_tight = dataclasses.replace(cfg, compact_fraction=0.02)
+    mesh = make_mesh(data=4, edge=1, devices=jax.devices()[:4])
+    stacked = shard_quantum_graph(graph, 1)
+    step = make_sharded_eval_step(
+        mesh, stacked, [params], cfg_tight, local_batch=64,
+        return_overflow=True,
+    )
+    flagged, logical, overflow = step(jax.random.PRNGKey(0), jnp.float32(0.12))
+    assert int(overflow) > 0
+    assert int(flagged) >= int(overflow)
+
+    # generous capacity: no overflow, counts match the unsharded run
+    from feedback_gnn_tpu.decoders import sandwich_eval_step
+
+    cfg_ok = dataclasses.replace(cfg, compact_fraction=1.0)
+    step_ok = make_sharded_eval_step(
+        mesh, stacked, [params], cfg_ok, local_batch=64,
+        return_overflow=True,
+    )
+    f2, l2, ov2 = step_ok(jax.random.PRNGKey(0), jnp.float32(0.12))
+    assert int(ov2) == 0
+    tot_f = tot_l = 0
+    for d in range(4):
+        k = jax.random.fold_in(jax.random.PRNGKey(0), d)
+        ff, ll = jax.jit(
+            lambda k, p: sandwich_eval_step(graph, [params], cfg_ok, k, p, 64)
+        )(k, jnp.float32(0.12))
+        tot_f += int(ff)
+        tot_l += int(ll)
+    assert int(f2) == tot_f and int(l2) == tot_l
