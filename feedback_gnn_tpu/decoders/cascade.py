@@ -131,7 +131,11 @@ def sandwich_decode(
     if qc is not None:
         from .bp4_qc import bp4_decode_qc, qc_supported
 
-        assert axis_name is None, "QC kernel path is single-shard"
+        if axis_name is not None:
+            raise ValueError(
+                "QC kernel path is shard-local: pass qc=None (XLA gather "
+                "path) for edge-partitioned rows, or run with edge_shards=1"
+            )
         assert qc_supported(cfg.cn_type), cfg.cn_type
 
         def run_bp(llr, syn_x, syn_z, num_iter, factor, need_logits=True):
@@ -218,7 +222,14 @@ def sandwich_decode(
         return out + (jnp.int32(0),) if with_overflow else out
 
     # ---- flagged-sample compaction (see CascadeConfig.compact_fraction) ----
-    assert axis_name is None, "compaction requires unsharded rows"
+    if axis_name is not None:
+        raise ValueError(
+            "compact_fraction requires unsharded PCM rows (edge_shards=1): "
+            "the flagged-first argsort needs each sample's FULL syndrome on one "
+            "shard.  Either drop --compact/--rounds-cap or run pure data "
+            "parallelism (--edge-shards 1), the production multi-chip mode "
+            "(see README 'Edge partitioning')."
+        )
     tile = cfg.qc_batch_tile if qc is not None else 8
     cap = min(b, -(-int(np.ceil(cfg.compact_fraction * b)) // tile) * tile)
 

@@ -61,8 +61,14 @@ def make_sharded_eval_step(
     unsharded in the edge dimension).
     """
     edge_axis = "edge" if mesh.shape["edge"] > 1 else None
-    if qc is not None:
-        assert edge_axis is None, "QC kernel path requires edge=1 (pure DP)"
+    if qc is not None and edge_axis is not None:
+        raise ValueError(
+            "the fused QC Pallas kernel is shard-local and cannot run with "
+            "edge-partitioned PCM rows (edge_shards>1).  Use pure data "
+            "parallelism (--edge-shards 1; the production multi-chip mode — "
+            "see README 'Edge partitioning') or drop --qc-kernel to use the "
+            "XLA gather path, which supports edge sharding."
+        )
 
     def inner(graph_stacked, params_list, key, p):
         graph = unstack_shard(graph_stacked)
