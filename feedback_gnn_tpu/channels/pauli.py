@@ -19,7 +19,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pauli_iid", "pauli_fixed_weight", "depolarizing_probs"]
+__all__ = [
+    "pauli_iid",
+    "pauli_fixed_weight",
+    "pauli_fixed_weight_traced",
+    "depolarizing_probs",
+]
 
 
 def depolarizing_probs(p):
@@ -51,6 +56,27 @@ def pauli_fixed_weight(key, wt, n, batch):
     z_flag = u > 1.0 / 3.0
 
     rows = jnp.broadcast_to(jnp.arange(batch)[:, None], (batch, wt))
+    noise_x = jnp.zeros((batch, n), bool).at[rows, pos].set(x_flag)
+    noise_z = jnp.zeros((batch, n), bool).at[rows, pos].set(z_flag)
+    return noise_x.T, noise_z.T
+
+
+def pauli_fixed_weight_traced(key, wt, n, batch, wt_max):
+    """``pauli_fixed_weight`` with a TRACED weight: one compiled program
+    serves a whole mining schedule wt <= wt_max (the static-wt version
+    retraces per weight — ~30 remote compiles for a 4..60 curriculum).
+    Identical distribution: the first ``wt`` entries of a uniform
+    permutation are a uniform without-replacement subset, and masking the
+    tail with ``arange(wt_max) < wt`` zeroes the unused slots."""
+    kpos, kval = jax.random.split(key)
+    pos_keys = jax.random.split(kpos, batch)
+    pos = jax.vmap(lambda k: jax.random.permutation(k, n)[:wt_max])(pos_keys)
+    u = jax.random.uniform(kval, (batch, wt_max), jnp.float32)
+    active = jnp.arange(wt_max)[None, :] < wt
+    x_flag = jnp.logical_and(u < 2.0 / 3.0, active)
+    z_flag = jnp.logical_and(u > 1.0 / 3.0, active)
+
+    rows = jnp.broadcast_to(jnp.arange(batch)[:, None], (batch, wt_max))
     noise_x = jnp.zeros((batch, n), bool).at[rows, pos].set(x_flag)
     noise_z = jnp.zeros((batch, n), bool).at[rows, pos].set(z_flag)
     return noise_x.T, noise_z.T

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..channels.pauli import pauli_fixed_weight
+from ..channels.pauli import pauli_fixed_weight, pauli_fixed_weight_traced
 from ..codes.graph import QuantumGraph
 from ..decoders.bp4 import bp4_decode
 from ..decoders.cascade import prior_llr
@@ -53,13 +53,24 @@ def _flagged_after(graph, x_hat, z_hat, noise_x, noise_z):
     return jnp.logical_or(jnp.any(sx != 0, axis=0), jnp.any(sz != 0, axis=0))
 
 
-def make_bp_failure_miner(graph: QuantumGraph, num_iter=64, p0=0.05, cn_type="boxplus-phi"):
+def make_bp_failure_miner(
+    graph: QuantumGraph, num_iter=64, p0=0.05, cn_type="boxplus-phi",
+    wt_max=None,
+):
     """Returns jitted (key, wt static, batch static) -> (noise_x [n,B],
-    noise_z, flagged [B]) — BP4_Error_Model of Generate_dataset.ipynb cell 1."""
+    noise_z, flagged [B]) — BP4_Error_Model of Generate_dataset.ipynb cell 1.
 
-    @partial(jax.jit, static_argnums=(1, 2))
+    With ``wt_max`` the weight argument is TRACED (one compile serves the
+    whole wt <= wt_max mining schedule)."""
+
+    def sample(key, wt, batch):
+        if wt_max is None:
+            return pauli_fixed_weight(key, wt, graph.n, batch)
+        return pauli_fixed_weight_traced(key, wt, graph.n, batch, wt_max)
+
+    @partial(jax.jit, static_argnums=(1, 2) if wt_max is None else (2,))
     def miner(key, wt, batch):
-        noise_x, noise_z = pauli_fixed_weight(key, wt, graph.n, batch)
+        noise_x, noise_z = sample(key, wt, batch)
         noise_x = _pad_noise(graph, noise_x)
         noise_z = _pad_noise(graph, noise_z)
         syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
@@ -79,13 +90,20 @@ def make_cascade_failure_miner(
     num_iter2=64,
     p0=0.05,
     cn_type="boxplus-phi",
+    wt_max=None,
 ):
     """Hard-example miner: errors still flagged after BP64 -> coarse GNN ->
-    BP64 (Feedback_GNN_Error_Model, Generate_dataset.ipynb cell 8)."""
+    BP64 (Feedback_GNN_Error_Model, Generate_dataset.ipynb cell 8).
+    ``wt_max``: see ``make_bp_failure_miner``."""
 
-    @partial(jax.jit, static_argnums=(1, 2))
+    def sample(key, wt, batch):
+        if wt_max is None:
+            return pauli_fixed_weight(key, wt, graph.n, batch)
+        return pauli_fixed_weight_traced(key, wt, graph.n, batch, wt_max)
+
+    @partial(jax.jit, static_argnums=(1, 2) if wt_max is None else (2,))
     def miner(key, wt, batch):
-        noise_x, noise_z = pauli_fixed_weight(key, wt, graph.n, batch)
+        noise_x, noise_z = sample(key, wt, batch)
         noise_x = _pad_noise(graph, noise_x)
         noise_z = _pad_noise(graph, noise_z)
         syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)

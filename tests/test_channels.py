@@ -62,3 +62,38 @@ def test_bsc_ste_gradient():
     g = jax.grad(mean_err)(0.2)
     assert np.isfinite(g) and abs(g) > 0
     assert abs(val - 0.2) < 0.05
+
+
+def test_pauli_fixed_weight_traced_matches_static_distribution():
+    """Traced-wt sampler: exact weight per sample, same marginals as the
+    static version, and one compiled program serves every weight."""
+    import jax
+    import jax.numpy as jnp
+
+    from feedback_gnn_tpu.channels.pauli import (
+        pauli_fixed_weight,
+        pauli_fixed_weight_traced,
+    )
+
+    n, batch, wt_max = 60, 512, 24
+    traced = jax.jit(
+        lambda key, wt: pauli_fixed_weight_traced(key, wt, n, batch, wt_max)
+    )
+    for wt in (1, 7, 24):
+        nx, nz = traced(jax.random.PRNGKey(wt), jnp.int32(wt))
+        support = np.asarray(nx) | np.asarray(nz)
+        # exactly wt error positions per sample
+        np.testing.assert_array_equal(support.sum(axis=0), wt)
+        # X and Z marginals: each active position is X w.p. 2/3, Z w.p. 2/3
+        assert abs(np.asarray(nx).sum() / (wt * batch) - 2 / 3) < 0.06
+        assert abs(np.asarray(nz).sum() / (wt * batch) - 2 / 3) < 0.06
+
+    # distributional agreement with the static version at matched weight
+    wt = 12
+    sx, sz = pauli_fixed_weight(jax.random.PRNGKey(99), wt, n, 4096)
+    tx, tz = pauli_fixed_weight_traced(jax.random.PRNGKey(98), jnp.int32(wt), n, 4096, wt_max)
+    # per-qubit occupancy is uniform wt/n for both
+    for arr in (sx, tx, sz, tz):
+        occ = np.asarray(arr).mean(axis=1)
+        assert abs(occ.mean() - (2 / 3) * wt / n) < 0.01
+        assert occ.std() < 0.02
