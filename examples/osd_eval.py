@@ -21,7 +21,17 @@ def main():
     ap.add_argument("-bs", "--batch-size", type=int, default=2000)
     ap.add_argument("--target-errors", type=int, default=50)
     ap.add_argument("--max-mc-iter", type=int, default=50)
-    ap.add_argument("--mode", choices=["bp4", "bp4-osd", "bp2-osd"], default="bp4-osd")
+    ap.add_argument("--mode", choices=["bp4", "bp2", "bp4-osd", "bp2-osd"],
+                    default="bp4-osd")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="BP iterations for the plain bp4/bp2 modes "
+                    "(default 64 SP / 100 NMS)")
+    ap.add_argument("--cn-type", default=None,
+                    choices=["boxplus-phi", "boxplus", "minsum"],
+                    help="CN update for the plain bp4/bp2 modes "
+                    "(default boxplus-phi; reference's NMS rows use minsum)")
+    ap.add_argument("--factor", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -36,11 +46,38 @@ def main():
     if args.mode == "bp4":
         from feedback_gnn_tpu.models import bp4_plain_eval_step
 
+        iters = args.iters or 64
+        cn = args.cn_type or "boxplus-phi"
+        factor = args.factor if args.factor is not None else 1.0
+
         @jax.jit
         def step(key, p):
-            return bp4_plain_eval_step(graph, key, p, args.batch_size, num_iter=64)
+            return bp4_plain_eval_step(
+                graph, key, p, args.batch_size, num_iter=iters,
+                cn_type=cn, normalization_factor=factor,
+            )
 
-        legend = "plain BP4-64 phi f=1.0"
+        legend = f"plain BP4-{iters} {cn} f={factor}"
+    elif args.mode == "bp2":
+        import numpy as np
+
+        from feedback_gnn_tpu.models import bp2_bsc_eval_step
+
+        iters = args.iters or 100
+        cn = args.cn_type or "minsum"
+        factor = args.factor if args.factor is not None else 0.8
+        hx = np.asarray(code.hx)
+        pcm_graph = build_graph(hx)
+
+        @jax.jit
+        def step(key, p):
+            return bp2_bsc_eval_step(
+                pcm_graph, hx, np.asarray(code.lx), key, p,
+                args.batch_size, num_iter=iters, cn_type=cn,
+                normalization_factor=factor,
+            )
+
+        legend = f"plain BP2-{iters} {cn} f={factor} (BSC)"
     elif args.mode == "bp4-osd":
         from feedback_gnn_tpu.models import bp4_osd_eval_step
 
@@ -83,6 +120,7 @@ def main():
         max_mc_iter=args.max_mc_iter,
         num_target_block_errors=args.target_errors,
         legend=legend,
+        seed=args.seed,
     )
     print()
     print(result.summary())
