@@ -35,6 +35,7 @@ __all__ = [
     "bp4_osd_eval_step",
     "bp2_osd_eval_step",
     "sandwich_eval_step",
+    "gnn_bp4_eval_step",
 ]
 
 
@@ -231,3 +232,53 @@ def bp2_osd_eval_step(
     ls_hat = mod2_matmul(logical_pcm, diff)
     logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
     return jnp.int32(0), logical
+
+
+def gnn_bp4_eval_step(
+    graph,
+    lrowsets,
+    params,
+    cfg,
+    key,
+    p,
+    batch: int,
+    wt: int | None = None,
+):
+    """Monte-Carlo evaluation of the fully-learned GNN decoder (GNN_BP4,
+    gnn.py:71-423; results not in the paper per README.md:46 — the
+    reference ships no eval entry point, so the protocol here mirrors the
+    other system models: depolarizing channel -> syndromes -> decode ->
+    flagged/logical counts).  ``lrowsets`` from
+    decoders.gnn_full.make_logit_rowsets."""
+    from .channels.pauli import pauli_fixed_weight
+    from .decoders.gnn_full import gnn_bp4_apply
+
+    n, n_pad = graph.n, graph.n_pad
+    if wt is not None:
+        noise_x, noise_z = pauli_fixed_weight(key, wt, n, batch)
+    else:
+        px, py, pz = depolarizing_probs(p)
+        noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
+    noise_x = jnp.pad(noise_x.astype(jnp.int32), ((0, n_pad - n), (0, 0)))
+    noise_z = jnp.pad(noise_z.astype(jnp.int32), ((0, n_pad - n), (0, 0)))
+    hx = jnp.asarray(graph.hx)
+    hz = jnp.asarray(graph.hz)
+    syndrome_x = mod2_matmul(hx, noise_z)
+    syndrome_z = mod2_matmul(hz, noise_x)
+
+    x_hat, z_hat, _ = gnn_bp4_apply(
+        params, graph, lrowsets, syndrome_x, syndrome_z, cfg
+    )
+    x_diff = jnp.bitwise_xor(noise_x, x_hat)
+    z_diff = jnp.bitwise_xor(noise_z, z_hat)
+    s_hat = jnp.concatenate(
+        [mod2_matmul(hz, x_diff), mod2_matmul(hx, z_diff)], axis=0
+    )
+    ls_hat = jnp.concatenate(
+        [
+            mod2_matmul(jnp.asarray(graph.hx_perp), x_diff),
+            mod2_matmul(jnp.asarray(graph.hz_perp), z_diff),
+        ],
+        axis=0,
+    )
+    return _counts(s_hat, ls_hat)
