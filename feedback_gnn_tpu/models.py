@@ -187,7 +187,10 @@ def bp4_osd_eval_step(
         axis=0,
     )
     logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
-    return jnp.sum(flagged.astype(jnp.int32)) * 0, logical  # reference returns zeros for s_hat
+    # first output = count of BP-flagged samples routed to OSD (a free
+    # diagnostic; the reference zeroes its s_hat — bp_osd.py:189 — so its
+    # "flagged" column is always 0.  LER semantics are identical either way.)
+    return jnp.sum(flagged.astype(jnp.int32)), logical
 
 
 def bp2_osd_eval_step(
@@ -231,7 +234,8 @@ def bp2_osd_eval_step(
     diff = jnp.bitwise_xor(noise, noise_final)
     ls_hat = mod2_matmul(logical_pcm, diff)
     logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
-    return jnp.int32(0), logical
+    # BP-flagged count routed to OSD (diagnostic; reference zeroes it)
+    return jnp.sum(flagged.astype(jnp.int32)), logical
 
 
 def gnn_bp4_eval_step(
