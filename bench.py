@@ -65,12 +65,16 @@ def main():
     else:  # pragma: no cover
         params = init_feedback_gnn(jax.random.PRNGKey(0))
 
+    cn_type = os.environ.get("BENCH_CN", "boxplus-phi")  # minsum A/B point
     cfg = CascadeConfig(
         num_iter1=64,
         num_iter2=16,
         num_rounds=5,
         p0=0.05,
+        cn_type=cn_type,
         qc_batch_tile=int(os.environ.get("QC_TILE", 128)),
+        # bfloat16 message-state A/B point (perf study; production is f32)
+        qc_msg_dtype=os.environ.get("BENCH_MSG_DTYPE", "float32"),
         # stage-1 flagged rate at p=0.05 is ~2.8 %; 1/16 capacity gives a
         # >2x margin (overflowing samples would keep their stage-1 estimate)
         compact_fraction=float(os.environ.get("BENCH_COMPACT", 0.15)) or None,

@@ -190,7 +190,12 @@ def _pad_l(l: int) -> int:
     return -(-l // 8) * 8
 
 
-def _make_kernel(qc: QCPair, num_iter, cn_type, factor, use_pltpu=True):
+def _make_kernel(qc: QCPair, num_iter, cn_type, factor, use_pltpu=True,
+                 msg_dtype=jnp.float32):
+    """``msg_dtype``: storage dtype of the iteration-carried message state
+    (bfloat16 halves the VMEM-resident carry; all arithmetic stays f32 —
+    an accuracy/VMEM trade measured in the README perf study, NOT used for
+    the parity-validated production path)."""
     qx, qz = qc.qx, qc.qz
     l, nb = qc.l, qc.qx.nb
     l_pad = _pad_l(l)
@@ -202,10 +207,10 @@ def _make_kernel(qc: QCPair, num_iter, cn_type, factor, use_pltpu=True):
         bt = llr.shape[-1]
 
         def stack(planes):
-            return jnp.stack(planes, axis=0)
+            return jnp.stack(planes, axis=0).astype(msg_dtype)
 
         def unstack(arr):
-            return [arr[g] for g in range(arr.shape[0])]
+            return [arr[g].astype(jnp.float32) for g in range(arr.shape[0])]
 
         def body(_, carry):
             mx, mz = carry
@@ -217,10 +222,11 @@ def _make_kernel(qc: QCPair, num_iter, cn_type, factor, use_pltpu=True):
             return stack(cx), stack(cz)
 
         init = (
-            jnp.zeros((qx.num_groups, l_pad, bt), jnp.float32),
-            jnp.zeros((qz.num_groups, l_pad, bt), jnp.float32),
+            jnp.zeros((qx.num_groups, l_pad, bt), msg_dtype),
+            jnp.zeros((qz.num_groups, l_pad, bt), msg_dtype),
         )
         mx, mz = jax.lax.fori_loop(0, num_iter, body, init)
+        mx, mz = mx.astype(jnp.float32), mz.astype(jnp.float32)
 
         # final marginalisation (sum over VN frames + channel LLR)
         vx = [_roll_left(mx[g], s, l, use_pltpu) for g, (_, _, s) in enumerate(qx.groups)]
@@ -245,6 +251,7 @@ def bp4_qc_marginals(
     normalization_factor: float = 1.0,
     batch_tile: int = 128,
     interpret: bool | None = None,
+    msg_dtype=jnp.float32,
 ):
     """Run the fused QC BP4 kernel.
 
@@ -285,7 +292,8 @@ def bp4_qc_marginals(
     synz_b = to_planes(syndrome_z, mbz)
 
     kernel = _make_kernel(
-        qc, num_iter, cn_type, float(normalization_factor), use_pltpu=not interpret
+        qc, num_iter, cn_type, float(normalization_factor),
+        use_pltpu=not interpret, msg_dtype=msg_dtype,
     )
     grid = (b_pad // bt,)
     # under shard_map(check_vma=True) the output must declare how it varies
@@ -337,6 +345,7 @@ def bp4_decode_qc(
     batch_tile: int = 128,
     interpret: bool | None = None,
     need_logits: bool = True,
+    msg_dtype=jnp.float32,
 ):
     """Drop-in replacement for ``bp4.bp4_decode`` (eval mode, no logit
     stack) backed by the fused kernel.  Accepts the cascade's padded
@@ -359,6 +368,7 @@ def bp4_decode_qc(
         normalization_factor=normalization_factor,
         batch_tile=batch_tile,
         interpret=interpret,
+        msg_dtype=msg_dtype,
     )
     n_pad = graph.n_pad
     b = llrx.shape[-1]

@@ -49,6 +49,10 @@ class CascadeConfig:
     num_rounds: int = 3  # nG
     p0: float = 0.05  # prior used for the uniform llr init
     qc_batch_tile: int = 128  # Pallas kernel batch tile (QC backend only)
+    # storage dtype of the kernel's iteration-carried message state
+    # ("float32" | "bfloat16"); bfloat16 is a measured VMEM/accuracy trade
+    # for the perf study — the parity-validated production path is float32
+    qc_msg_dtype: str = "float32"
     # Flagged-sample compaction: after stage-1 BP, gather the still-flagged
     # samples (the only ones the GNN rounds can change — the reference
     # masks updates to exactly this set, feedback_gnn.py:324-340) into a
@@ -138,10 +142,13 @@ def sandwich_decode(
             )
         assert qc_supported(cfg.cn_type), cfg.cn_type
 
+        msg_dtype = jnp.dtype(cfg.qc_msg_dtype)
+
         def run_bp(llr, syn_x, syn_z, num_iter, factor, need_logits=True):
             return bp4_decode_qc(
                 graph, qc, llr, syn_x, syn_z, num_iter, cfg.cn_type,
                 factor, batch_tile=cfg.qc_batch_tile, need_logits=need_logits,
+                msg_dtype=msg_dtype,
             )
 
     else:
