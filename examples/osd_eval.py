@@ -32,6 +32,11 @@ def main():
                     "(default boxplus-phi; reference's NMS rows use minsum)")
     ap.add_argument("--factor", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--osd-cap", type=int, default=None,
+                    help="run OSD on a dense flagged-only sub-batch of this "
+                    "size (bp4-osd mode; [B, rank, n+1] elimination tables "
+                    "are ~1.6 MB/sample on n882 — cap the batch's OSD cost "
+                    "at flagged-rate * bs with margin)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +91,7 @@ def main():
             return bp4_osd_eval_step(
                 graph, code, key, p, args.batch_size, num_iter=100,
                 cn_type="minsum", normalization_factor=0.8,
+                osd_compact_cap=args.osd_cap,
             )
 
         legend = "BP4 minsum 0.8 x100 + OSD0"

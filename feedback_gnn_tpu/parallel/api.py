@@ -104,10 +104,13 @@ def make_sharded_eval_step(
         mesh=mesh,
         in_specs=(_graph_spec(stacked_graph), P(), P(), P()),
         out_specs=(P(), P(), P()) if return_overflow else (P(), P()),
-        # vma inference cannot see through the Pallas kernel body (ops
-        # inside the kernel mix traced inputs with kernel-local constants),
-        # so the QC backend runs with the check disabled — numerics are
-        # covered by the sharded-vs-unsharded equivalence tests
+        # vma inference cannot see through the Pallas kernel body: kernel-
+        # local constants (e.g. the zeros message init) carry empty vma and
+        # every op mixing them with varying inputs trips the check ("mul
+        # requires varying manual axes to match"), and pvary has no Mosaic
+        # lowering to fix them inside the kernel.  The QC backend therefore
+        # runs with the check disabled; numerics are covered by the
+        # sharded-vs-unsharded equivalence tests (test_sharding.py).
         check_vma=qc is None,
     )
 
