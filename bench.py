@@ -120,6 +120,17 @@ def main():
 
     syndromes_per_s = batch * n_timed / dt
     print(f"# {n_timed} batches of {batch} in {dt:.3f}s", file=sys.stderr)
+    # edge-traversal rate at the NOMINAL schedule (64 + nG*16 BP iterations
+    # x 2x3810 edges x 2 graph directions per iteration), i.e. the rate a
+    # compaction-free decoder would need to match this wall-clock — the
+    # scaling-efficiency metric of BASELINE.json / scripts/bench_scaling.py
+    edges = 2 * 3810
+    nominal_iters = cfg.num_iter1 + cfg.num_rounds * cfg.num_iter2
+    print(
+        f"# nominal edge rate: {syndromes_per_s * edges * nominal_iters / 1e9:.2f} "
+        "G edge-iterations/s",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
