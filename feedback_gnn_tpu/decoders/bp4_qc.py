@@ -80,9 +80,19 @@ def _roll_left(x, k, l, use_pltpu=True):
 
 def _phi(x):
     """phi(x) = log((e^x+1)/(e^x-1)) = -log(tanh(x/2)), reference clips
-    (decoding_q.py:48-51, 372-373)."""
+    (decoding_q.py:48-51, 372-373).  Honors cn_update's phi-impl switch
+    (floor-numerics experiments) for the Mosaic-loweable formulations; the
+    kernel default is the tanh form (expm1 has no Mosaic lowering)."""
+    from . import cn_update
+
     x = jnp.clip(x, PHI_CLIP_MIN, PHI_CLIP_MAX)
-    out = -jnp.log(jnp.tanh(x * 0.5))
+    if cn_update._PHI_IMPL == "tf":
+        out = jax.nn.softplus(x) - jnp.log(jnp.exp(x) - 1.0)
+    elif cn_update._PHI_IMPL == "accurate":
+        e = jnp.exp(-x)
+        out = jnp.log1p(e) - jnp.log1p(-e)
+    else:
+        out = -jnp.log(jnp.tanh(x * 0.5))
     return jnp.clip(out, PHI_CLIP_MIN, PHI_CLIP_MAX)
 
 

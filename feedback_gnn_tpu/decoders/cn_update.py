@@ -31,6 +31,30 @@ LLR_MAX = 20.0
 _LARGE_VAL = 10000.0  # minsum "ignore" constant (decoding_q.py:551)
 
 
+# --- phi formulation switch (error-floor numerics experiments) -------------
+# "expm1"    (default): softplus(x) - log(expm1(x)) — the reference's
+#            formulation with the small-x staircase fixed by expm1.
+# "tf"       : softplus(x) - log(exp(x) - 1) — mimics TF's exact arithmetic
+#            including its f32 staircase for weak messages (x small).
+# "accurate" : log1p(e) - log1p(-e) with e = exp(-x) — cancellation-free,
+#            ~400x lower mean relative error than the reference formulation.
+# Set via env FGT_PHI_IMPL before import, or set_phi_impl() BEFORE tracing
+# any jitted decoder (a trace bakes the formulation in; already-compiled
+# functions are NOT retraced).  Experimental knob: the parity-validated
+# default is "expm1".
+import os as _os
+
+_PHI_IMPLS = ("expm1", "tf", "accurate")
+_PHI_IMPL = _os.environ.get("FGT_PHI_IMPL", "expm1")
+assert _PHI_IMPL in _PHI_IMPLS, _PHI_IMPL
+
+
+def set_phi_impl(name: str):
+    global _PHI_IMPL
+    assert name in _PHI_IMPLS, name
+    _PHI_IMPL = name
+
+
 def phi(x):
     """phi(x) = log((e^x + 1)/(e^x - 1)), clipped as in the reference.
 
@@ -38,12 +62,19 @@ def phi(x):
     rounding exp(8.5e-8) up to 1+eps, making phi(8.5e-8) = 16.635532 — which
     is exactly the upper clip (phi is a self-inverse on [8.5e-8, 16.635532]).
     XLA's exp is not guaranteed to round the same way (exp(8.5e-8) -> 1.0
-    gives log(0) = -inf), so we use expm1 and clip the OUTPUT to the same
-    interval; results agree with TF to ~1e-7 outside its own staircase-noise
-    region (see tests/test_bp4_parity.py).
+    gives log(0) = -inf), so the default uses expm1 and clips the OUTPUT to
+    the same interval; results agree with TF to ~1e-7 outside its own
+    staircase-noise region (see tests/test_bp4_parity.py).  Alternative
+    formulations above are selectable for floor-numerics experiments.
     """
     x = jnp.clip(x, PHI_CLIP_MIN, PHI_CLIP_MAX)
-    out = jax.nn.softplus(x) - jnp.log(jnp.expm1(x))
+    if _PHI_IMPL == "tf":
+        out = jax.nn.softplus(x) - jnp.log(jnp.exp(x) - 1.0)
+    elif _PHI_IMPL == "accurate":
+        e = jnp.exp(-x)
+        out = jnp.log1p(e) - jnp.log1p(-e)
+    else:
+        out = jax.nn.softplus(x) - jnp.log(jnp.expm1(x))
     return jnp.clip(out, PHI_CLIP_MIN, PHI_CLIP_MAX)
 
 
