@@ -113,7 +113,7 @@ def main():
                 # (OSD.ipynb: BP2_OSD_Model(code.hx, ..., code.lx, ...))
                 pcm_graph, hx, basis, pivot, np.asarray(code.lx), key, p,
                 args.batch_size, num_iter=100, cn_type="minsum",
-                normalization_factor=0.8,
+                normalization_factor=0.8, osd_compact_cap=args.osd_cap,
             )
 
         legend = "BP2 minsum 0.8 x100 + OSD0 (BSC)"

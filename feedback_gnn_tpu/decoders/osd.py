@@ -164,7 +164,14 @@ def bp_osd_correct(
         z_hat = bp_result.z_hat.at[:, idx].set(
             jnp.where(upd, z_osd, bp_result.z_hat[:, idx])
         )
-        return x_hat, z_hat, flagged
+        # flagged samples beyond the capacity keep their BP estimate.  That
+        # is NOT reference-equivalent (and not even reliably pessimistic:
+        # a flagged BP estimate can be logically luckier than an OSD
+        # correction) — report the overflow so callers can verify coverage.
+        overflow = jnp.sum(flagged.astype(jnp.int32)) - jnp.sum(
+            valid.astype(jnp.int32)
+        )
+        return x_hat, z_hat, flagged, overflow
 
     z_hat_osd = osd0_decode(osd_llrz.T, jnp.asarray(hx_basis), red_sx).T  # [n, B]
     x_hat_osd = osd0_decode(osd_llrx.T, jnp.asarray(hz_basis), red_sz).T
@@ -173,4 +180,4 @@ def bp_osd_correct(
 
     x_hat = jnp.where(flagged[None, :], x_hat_osd, bp_result.x_hat)
     z_hat = jnp.where(flagged[None, :], z_hat_osd, bp_result.z_hat)
-    return x_hat, z_hat, flagged
+    return x_hat, z_hat, flagged, jnp.int32(0)
