@@ -32,6 +32,15 @@ def main():
                     "(default boxplus-phi; reference's NMS rows use minsum)")
     ap.add_argument("--factor", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--accounting", choices=["all", "undetected"],
+                    default="all",
+                    help="logical-error convention for the plain bp4/bp2 "
+                    "modes: 'all' counts any ls_hat!=0 (sim_ber qldpc "
+                    "semantics); 'undetected' counts only syndrome-"
+                    "consistent logical flips — the convention of the "
+                    "OSD.ipynb cells 7-8 plain-BP tables")
+    ap.add_argument("--checkpoint", default=None,
+                    help="MC-state resume file (JSON), as in evaluate.py")
     ap.add_argument("--osd-cap", type=int, default=None,
                     help="run OSD on a dense flagged-only sub-batch of this "
                     "size (bp4-osd mode; [B, rank, n+1] elimination tables "
@@ -60,9 +69,10 @@ def main():
             return bp4_plain_eval_step(
                 graph, key, p, args.batch_size, num_iter=iters,
                 cn_type=cn, normalization_factor=factor,
+                accounting=args.accounting,
             )
 
-        legend = f"plain BP4-{iters} {cn} f={factor}"
+        legend = f"plain BP4-{iters} {cn} f={factor} [{args.accounting}]"
     elif args.mode == "bp2":
         import numpy as np
 
@@ -79,10 +89,10 @@ def main():
             return bp2_bsc_eval_step(
                 pcm_graph, hx, np.asarray(code.lx), key, p,
                 args.batch_size, num_iter=iters, cn_type=cn,
-                normalization_factor=factor,
+                normalization_factor=factor, accounting=args.accounting,
             )
 
-        legend = f"plain BP2-{iters} {cn} f={factor} (BSC)"
+        legend = f"plain BP2-{iters} {cn} f={factor} (BSC) [{args.accounting}]"
     elif args.mode == "bp4-osd":
         from feedback_gnn_tpu.models import bp4_osd_eval_step
 
@@ -127,6 +137,7 @@ def main():
         num_target_block_errors=args.target_errors,
         legend=legend,
         seed=args.seed,
+        checkpoint_path=args.checkpoint,
     )
     print()
     print(result.summary())

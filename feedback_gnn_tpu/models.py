@@ -39,10 +39,29 @@ __all__ = [
 ]
 
 
-def _counts(s_hat, ls_hat):
-    flagged = jnp.sum(jnp.any(s_hat != 0, axis=0).astype(jnp.int32))
-    logical = jnp.sum(jnp.any(ls_hat != 0, axis=0).astype(jnp.int32))
-    return flagged, logical
+def _counts(s_hat, ls_hat, accounting: str = "all"):
+    """Per-batch error counts.
+
+    accounting="all": a block is a logical error when any logical-syndrome
+    row is nonzero — the convention of sim_ber's qldpc mode
+    (misc.py:647-654), where ls_hat covers the full perp rowset so every
+    non-converged sample also counts.  Used by every headline table.
+
+    accounting="undetected": count only syndrome-consistent outputs that
+    flip a logical (s_hat == 0 AND ls_hat != 0).  This is the convention
+    behind the plain-BP markdown tables of OSD.ipynb cells 7-8: their
+    published plain-BP4 NMS value (2.8e-4 @ p=0.10) is *below* the same
+    decoder's BP+OSD result (3.70e-4), which is impossible when flagged
+    (non-converged) samples count as logical errors — the tables report
+    undetected logical errors over all blocks.
+    """
+    fl = jnp.any(s_hat != 0, axis=0)
+    lg = jnp.any(ls_hat != 0, axis=0)
+    if accounting == "undetected":
+        lg = jnp.logical_and(jnp.logical_not(fl), lg)
+    else:
+        assert accounting == "all", accounting
+    return jnp.sum(fl.astype(jnp.int32)), jnp.sum(lg.astype(jnp.int32))
 
 
 def bp2_bsc_eval_step(
@@ -57,12 +76,13 @@ def bp2_bsc_eval_step(
     normalization_factor: float = 0.8,
     p0=None,
     qc_spec=None,
+    accounting: str = "all",
 ):
     """Binary syndrome BP over a BSC with logical-operator check
     (BP_BSC_Model, feedback_gnn.py:190-229).  ``pcm`` is one of hx/hz (the
     decoding graph), ``logical_pcm`` the orthogonal complement used for the
     logical check.  ``qc_spec`` (codes.qc.QCGraphSpec of ``pcm``) switches
-    to the fused Pallas BP2 kernel."""
+    to the fused Pallas BP2 kernel.  ``accounting``: see ``_counts``."""
     pcm = jnp.asarray(pcm, jnp.float32)
     logical_pcm = jnp.asarray(logical_pcm, jnp.float32)
     n = pcm.shape[1]
@@ -92,7 +112,7 @@ def bp2_bsc_eval_step(
     diff = jnp.bitwise_xor(noise, noise_hat)
     s_hat = mod2_matmul(pcm, diff)
     ls_hat = mod2_matmul(logical_pcm, diff)
-    return _counts(s_hat, ls_hat)
+    return _counts(s_hat, ls_hat, accounting)
 
 
 def bp4_plain_eval_step(
@@ -104,9 +124,11 @@ def bp4_plain_eval_step(
     cn_type: str = "boxplus-phi",
     normalization_factor: float = 1.0,
     p0=None,
+    accounting: str = "all",
 ):
     """Plain BP4 evaluation over the depolarizing channel (the OSD.ipynb
-    "plain BP4" rows)."""
+    "plain BP4" rows; those markdown tables use accounting="undetected" —
+    see ``_counts``)."""
     n = graph.n
     px, py, pz = depolarizing_probs(p)
     noise_x, noise_z = pauli_iid(key, px, py, pz, n, batch)
@@ -132,7 +154,7 @@ def bp4_plain_eval_step(
         ],
         axis=0,
     )
-    return _counts(s_hat, ls_hat)
+    return _counts(s_hat, ls_hat, accounting)
 
 
 def bp4_osd_eval_step(

@@ -53,15 +53,30 @@ def _flagged_after(graph, x_hat, z_hat, noise_x, noise_z):
     return jnp.logical_or(jnp.any(sx != 0, axis=0), jnp.any(sz != 0, axis=0))
 
 
+def _compact_failures(graph, noise_x, noise_z, flagged, cap):
+    """Device-side failure compaction: sort the flagged samples to the
+    front, return the first ``cap`` columns as uint8 plus the number of
+    valid ones.  Cuts the device->host transfer from [n, B] to [n, cap]
+    (the mining loop over a tunneled TPU is transfer-bound otherwise)."""
+    order = jnp.argsort(jnp.logical_not(flagged), stable=True)
+    idx = order[:cap]
+    kept = jnp.minimum(jnp.sum(flagged.astype(jnp.int32)), jnp.int32(cap))
+    nx = noise_x[: graph.n].astype(jnp.uint8)[:, idx]
+    nz = noise_z[: graph.n].astype(jnp.uint8)[:, idx]
+    return nx, nz, kept
+
+
 def make_bp_failure_miner(
     graph: QuantumGraph, num_iter=64, p0=0.05, cn_type="boxplus-phi",
-    wt_max=None,
+    wt_max=None, compact_cap=None,
 ):
     """Returns jitted (key, wt static, batch static) -> (noise_x [n,B],
     noise_z, flagged [B]) — BP4_Error_Model of Generate_dataset.ipynb cell 1.
 
     With ``wt_max`` the weight argument is TRACED (one compile serves the
-    whole wt <= wt_max mining schedule)."""
+    whole wt <= wt_max mining schedule).  With ``compact_cap`` the output
+    is instead (noise_x [n,cap] uint8, noise_z [n,cap] uint8, kept int32)
+    with failures densely packed at the front — see _compact_failures."""
 
     def sample(key, wt, batch):
         if wt_max is None:
@@ -78,6 +93,8 @@ def make_bp_failure_miner(
         llr0 = prior_llr(p0, graph.n, batch, n_pad=graph.n_pad)
         res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type)
         flagged = _flagged_after(graph, res.x_hat, res.z_hat, noise_x, noise_z)
+        if compact_cap is not None:
+            return _compact_failures(graph, noise_x, noise_z, flagged, compact_cap)
         return noise_x[: graph.n], noise_z[: graph.n], flagged
 
     return miner
@@ -91,10 +108,11 @@ def make_cascade_failure_miner(
     p0=0.05,
     cn_type="boxplus-phi",
     wt_max=None,
+    compact_cap=None,
 ):
     """Hard-example miner: errors still flagged after BP64 -> coarse GNN ->
     BP64 (Feedback_GNN_Error_Model, Generate_dataset.ipynb cell 8).
-    ``wt_max``: see ``make_bp_failure_miner``."""
+    ``wt_max`` / ``compact_cap``: see ``make_bp_failure_miner``."""
 
     def sample(key, wt, batch):
         if wt_max is None:
@@ -116,6 +134,8 @@ def make_cascade_failure_miner(
         )
         res2 = bp4_decode(graph, new_llr, syndrome_x, syndrome_z, num_iter2, cn_type)
         flagged = _flagged_after(graph, res2.x_hat, res2.z_hat, noise_x, noise_z)
+        if compact_cap is not None:
+            return _compact_failures(graph, noise_x, noise_z, flagged, compact_cap)
         return noise_x[: graph.n], noise_z[: graph.n], flagged
 
     return miner

@@ -42,23 +42,29 @@ def log(msg):
 
 
 def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir):
-    """Mine failures per weight with a kept-failures cap; save one npz."""
+    """Mine failures per weight with a kept-failures cap; save one npz.
+
+    The miner must be built with ``compact_cap`` (device-side failure
+    compaction): each call returns (nx [n,K] uint8, nz, kept) and the host
+    slices the valid prefix — over the tunneled TPU this is the difference
+    between a transfer-bound and a compute-bound mining loop."""
     path = os.path.join(out_dir, f"{tag}.npz")
     if os.path.exists(path):
         d = np.load(path)
         log(f"{tag}: reusing {path} ({d['x'].shape[0]} samples)")
         return d["x"], d["z"]
     xs, zs, report = [], [], {}
+    t0 = time.time()
     for wt in weights:
         kept_x, kept_z = [], []
-        total = 0
+        scanned = 0
         for b in range(batches):
             k = jax.random.fold_in(jax.random.fold_in(key, wt), b)
-            nx, nz, flagged = miner(k, jnp.int32(wt), int(batch_size))
-            mask = np.asarray(flagged)
-            kept_x.append(np.asarray(nx).T[mask])
-            kept_z.append(np.asarray(nz).T[mask])
-            total += int(mask.sum())
+            nx, nz, kept = miner(k, jnp.int32(wt), int(batch_size))
+            kept = int(kept)
+            scanned += batch_size
+            kept_x.append(np.asarray(nx).T[:kept])
+            kept_z.append(np.asarray(nz).T[:kept])
             if sum(a.shape[0] for a in kept_x) >= cap:
                 break
         x = np.vstack(kept_x)[:cap].astype(np.uint8)
@@ -66,7 +72,9 @@ def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir):
         xs.append(x)
         zs.append(z)
         report[int(wt)] = x.shape[0]
-        log(f"{tag}: wt={wt} kept {x.shape[0]} failures")
+        log(f"{tag}: wt={wt} kept {x.shape[0]} failures "
+            f"({scanned} scanned, {scanned / max(time.time() - t0, 1e-9):.0f}/s)")
+        t0 = time.time()
     x, z = np.vstack(xs), np.vstack(zs)
     np.savez_compressed(path, x=x, z=z,
                         weights=np.asarray(list(report)),
@@ -76,7 +84,7 @@ def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir):
 
 
 def train_phase(graph, x, z, tcfg, key, batch_size, tag, out_dir,
-                init_params=None, log_every=200):
+                init_params=None, log_every=200, epochs=1):
     from feedback_gnn_tpu.decoders.gnn_feedback import init_feedback_gnn
     from feedback_gnn_tpu.io.checkpoint import load_pytree, save_pytree
     from feedback_gnn_tpu.train import batch_iterator, make_optimizer, make_train_step
@@ -92,16 +100,20 @@ def train_phase(graph, x, z, tcfg, key, batch_size, tag, out_dir,
     step = make_train_step(graph, tcfg, opt)
     it, t0 = 0, time.time()
     losses = []
-    for nx, nz in batch_iterator(x, z, batch_size, jax.random.fold_in(key, 7)):
-        params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
-        it += 1
-        losses.append(float(loss))
-        if it % log_every == 0 or it == 1:
-            log(f"{tag}: it {it} loss {float(loss):.4f} bler {float(bl):.3f} "
-                f"flagged {float(fb):.3f} "
-                f"({it * batch_size / (time.time() - t0):.0f} samples/s)")
+    for ep in range(epochs):
+        for nx, nz in batch_iterator(x, z, batch_size,
+                                     jax.random.fold_in(key, 7 + ep)):
+            params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
+            it += 1
+            losses.append(float(loss))
+            if it % log_every == 0 or it == 1:
+                log(f"{tag}: ep {ep + 1}/{epochs} it {it} "
+                    f"loss {float(loss):.4f} bler {float(bl):.3f} "
+                    f"flagged {float(fb):.3f} "
+                    f"({it * batch_size / (time.time() - t0):.0f} samples/s)")
     save_pytree(params, path)
-    log(f"{tag}: trained {it} steps, final loss {np.mean(losses[-50:]):.4f} -> {path}")
+    log(f"{tag}: trained {it} steps ({epochs} epochs), "
+        f"final loss {np.mean(losses[-50:]):.4f} -> {path}")
     return params
 
 
@@ -129,11 +141,20 @@ def main():
     ap.add_argument("--out-dir", default="runs/scratch")
     ap.add_argument("--wt", type=int, nargs=2, default=[4, 60])
     ap.add_argument("--coarse-hi", type=int, default=40)
-    ap.add_argument("--mine-batches", type=int, default=4)
+    ap.add_argument("--mine-batches", type=int, default=60,
+                    help="mining batches per weight (x batch-size = samples "
+                    "scanned per wt; the reference scans 50 x 50000)")
     ap.add_argument("--mine-batch-size", type=int, default=8192)
+    ap.add_argument("--mine-compact-cap", type=int, default=2048,
+                    help="device-side failure-compaction width per batch")
     ap.add_argument("--easy-cap", type=int, default=12000, help="kept failures per wt")
-    ap.add_argument("--hard-cap", type=int, default=300)
+    ap.add_argument("--hard-cap", type=int, default=3000)
     ap.add_argument("--hard-oversample", type=int, default=50)
+    ap.add_argument("--coarse-epochs", type=int, default=4,
+                    help="epochs over the easy wt<=coarse-hi set for the "
+                    "coarse 16/16 stage (the reference's single epoch is "
+                    "over a much larger mined set)")
+    ap.add_argument("--final-epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--eval-p", type=float, nargs="+", default=[0.10, 0.09])
@@ -164,7 +185,8 @@ def main():
     wt_max = args.wt[1]
 
     # ---- phase 1: easy set (BP4-64 failures) ----
-    miner = make_bp_failure_miner(graph, num_iter=64, wt_max=wt_max)
+    miner = make_bp_failure_miner(graph, num_iter=64, wt_max=wt_max,
+                                  compact_cap=args.mine_compact_cap)
     ex, ez = mine_phase(miner, jax.random.fold_in(key, 1), weights,
                         args.mine_batches, args.mine_batch_size,
                         args.easy_cap, f"{args.code}_easy", args.out_dir)
@@ -182,11 +204,13 @@ def main():
                                    learning_rate=args.lr),
         jax.random.fold_in(key, 2), args.batch_size,
         f"{args.code}_coarse_16_16", args.out_dir,
+        epochs=args.coarse_epochs,
     )
 
     # ---- phase 3: hard set (survives BP64 -> coarse GNN -> BP64) ----
     hminer = make_cascade_failure_miner(graph, coarse, num_iter1=64,
-                                        num_iter2=64, wt_max=wt_max)
+                                        num_iter2=64, wt_max=wt_max,
+                                        compact_cap=args.mine_compact_cap)
     hx, hz = mine_phase(hminer, jax.random.fold_in(key, 3), weights,
                         args.mine_batches, args.mine_batch_size,
                         args.hard_cap, f"{args.code}_hard", args.out_dir)
@@ -200,6 +224,7 @@ def main():
                                    learning_rate=args.lr),
         jax.random.fold_in(key, 4), args.batch_size,
         f"{args.code}_final_64_16_mixed", args.out_dir,
+        epochs=args.final_epochs,
     )
 
     # ---- phase 5: LER of trained vs shipped weights, same seeds ----

@@ -161,3 +161,36 @@ def test_bp2_osd_compacted_matches_full(small_code):
     f2, _, ov2 = bp2_osd_eval_step(*args, key, 0.08, batch,
                                    osd_compact_cap=4, **kw)
     assert int(ov2) == int(f2) - 4
+
+
+def test_undetected_accounting(small_code):
+    """accounting='undetected' counts only syndrome-consistent logical
+    flips: undetected <= all, flagged identical, and the difference is
+    exactly the flagged-AND-logical overlap (OSD.ipynb cells 7-8
+    convention — their plain-BP NMS p_L sits below the same decoder's
+    BP+OSD p_L, impossible under flagged-inclusive counting)."""
+    from feedback_gnn_tpu.codes.graph import QuantumGraph, build_graph
+    from feedback_gnn_tpu.models import bp2_bsc_eval_step, bp4_plain_eval_step
+
+    code = small_code
+    qg = QuantumGraph.from_code(code, stage_mode=True)
+    g2 = build_graph(np.asarray(code.hx))
+    key = jax.random.PRNGKey(3)
+    batch = 512
+    # few iterations at high p -> plenty of flagged samples in both modes
+    f_all, l_all = bp4_plain_eval_step(qg, key, 0.12, batch, num_iter=8)
+    f_und, l_und = bp4_plain_eval_step(
+        qg, key, 0.12, batch, num_iter=8, accounting="undetected"
+    )
+    assert int(f_all) == int(f_und) > 0
+    assert 0 <= int(l_und) < int(l_all)
+
+    f_all, l_all = bp2_bsc_eval_step(
+        g2, code.hx, code.hz_perp, key, 0.12, batch, num_iter=8
+    )
+    f_und, l_und = bp2_bsc_eval_step(
+        g2, code.hx, code.hz_perp, key, 0.12, batch, num_iter=8,
+        accounting="undetected",
+    )
+    assert int(f_all) == int(f_und) > 0
+    assert int(l_und) <= int(l_all)
