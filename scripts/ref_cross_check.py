@@ -34,8 +34,25 @@ sys.path.insert(0, os.path.join(REPO, "tests"))  # refutil
 import numpy as np
 
 
+_REF_CTX = {}
+
+
+def _ref_context(code_name, bs, nG):
+    """Build the reference TF cascade once per (code, bs, nG) and return a
+    decode(noise_x, noise_z) -> (flagged, logical) closure (keeps tf.function
+    traces warm across mining batches)."""
+    key = (code_name, bs, nG)
+    if key not in _REF_CTX:
+        _REF_CTX[key] = _build_ref_cascade(code_name, bs, nG)
+    return _REF_CTX[key]
+
+
 def decode_reference(code_name, noise_x, noise_z, nG, p0=0.05):
     """Reference TF cascade on injected noise -> logical-error mask [B]."""
+    return _ref_context(code_name, noise_x.shape[0], nG)(noise_x, noise_z, p0)
+
+
+def _build_ref_cascade(code_name, bs, nG):
     from refutil import import_reference_sionna
 
     import_reference_sionna()
@@ -66,7 +83,7 @@ def decode_reference(code_name, noise_x, noise_z, nG, p0=0.05):
         wfile = ("/root/reference/sionna/fec/ldpc/weights/"
                  "feedback_GNN_n1270_k28_wt_10_80_iter_64_16_mixed.npy")
 
-    bs, n = noise_x.shape
+    n = code.N
     cn_x, cn_z = code.hx.shape[0], code.hz.shape[0]
     G = Feedback_GNN(code=code, num_msg_dims=20, num_hidden_units=40,
                      num_mlp_layers=2, reduce_op="mean", activation="tanh",
@@ -78,63 +95,68 @@ def decode_reference(code_name, noise_x, noise_z, nG, p0=0.05):
                           cn_type="boxplus-phi", trainable=False, stage_one=True)
     dec2 = QLDPCBPDecoder(code=code, num_iter=16, normalization_factor=1.0,
                           cn_type="boxplus-phi", trainable=False, stage_one=True)
-
-    # ---- the Sandwich model's call body with injected noise ----
-    noise_x_T = tf.constant(noise_x.T, tf.int64)  # [n, bs]
-    noise_z_T = tf.constant(noise_z.T, tf.int64)
     hx = tf.constant(code.hx, tf.int64)
     hz = tf.constant(code.hz, tf.int64)
-    syndrome_x = tf.cast(int_mod_2(tf.matmul(hx, noise_z_T)), tf.float32)
-    syndrome_z = tf.cast(int_mod_2(tf.matmul(hz, noise_x_T)), tf.float32)
-    llr = tf.fill((bs, 3, n), tf.math.log(3.0 * (1.0 - p0) / p0))
-    gt_x = int_mod_2(tf.matmul(hz, noise_x_T))
-    gt_z = int_mod_2(tf.matmul(hx, noise_z_T))
-    gt = tf.transpose(tf.concat([gt_x, gt_z], axis=0), (1, 0))
+    hx_perp = tf.constant(code.hx_perp, tf.int64)
+    hz_perp = tf.constant(code.hz_perp, tf.int64)
 
-    llrx, llry, llrz, x_hat, z_hat, logit_hx_perp, logit_hz_perp = dec1(
-        (llr, syndrome_x, syndrome_z)
-    )
-    errors = tf.ones([bs], dtype=tf.bool)
-    for _ in range(nG):
-        sx = int_mod_2(tf.matmul(hz, tf.transpose(tf.cast(x_hat, tf.int64))))
-        sz = int_mod_2(tf.matmul(hx, tf.transpose(tf.cast(z_hat, tf.int64))))
-        s_hat = tf.transpose(tf.concat([sx, sz], axis=0), (1, 0))
-        new_errors = tf.reduce_any(tf.not_equal(gt, s_hat), axis=-1)
-        errors = tf.math.logical_and(errors, new_errors)
+    def decode(noise_x, noise_z, p0=0.05):
+        # ---- the Sandwich model's call body with injected noise ----
+        noise_x_T = tf.constant(noise_x.T, tf.int64)  # [n, bs]
+        noise_z_T = tf.constant(noise_z.T, tf.int64)
+        syndrome_x = tf.cast(int_mod_2(tf.matmul(hx, noise_z_T)), tf.float32)
+        syndrome_z = tf.cast(int_mod_2(tf.matmul(hz, noise_x_T)), tf.float32)
+        llr = tf.fill((bs, 3, n), tf.math.log(3.0 * (1.0 - p0) / p0))
+        gt_x = int_mod_2(tf.matmul(hz, noise_x_T))
+        gt_z = int_mod_2(tf.matmul(hx, noise_z_T))
+        gt = tf.transpose(tf.concat([gt_x, gt_z], axis=0), (1, 0))
 
-        h_vn = tf.stack([llrx, llry, llrz], axis=-1)
-        # NOTE the reference's argument swap (feedback_gnn.py:335)
-        new_llr = G((h_vn, logit_hz_perp, logit_hx_perp, syndrome_x, syndrome_z))
-        (llrx, llry, llrz, x_hat_update, z_hat_update,
-         logit_hx_perp, logit_hz_perp) = dec2(
-            (tf.transpose(new_llr, (0, 2, 1)), syndrome_x, syndrome_z)
+        llrx, llry, llrz, x_hat, z_hat, logit_hx_perp, logit_hz_perp = dec1(
+            (llr, syndrome_x, syndrome_z)
         )
-        x_hat = tf.tensor_scatter_nd_update(
-            x_hat, tf.where(errors), x_hat_update[errors]
-        )
-        z_hat = tf.tensor_scatter_nd_update(
-            z_hat, tf.where(errors), z_hat_update[errors]
-        )
+        errors = tf.ones([bs], dtype=tf.bool)
+        for _ in range(nG):
+            sx = int_mod_2(tf.matmul(hz, tf.transpose(tf.cast(x_hat, tf.int64))))
+            sz = int_mod_2(tf.matmul(hx, tf.transpose(tf.cast(z_hat, tf.int64))))
+            s_hat = tf.transpose(tf.concat([sx, sz], axis=0), (1, 0))
+            new_errors = tf.reduce_any(tf.not_equal(gt, s_hat), axis=-1)
+            errors = tf.math.logical_and(errors, new_errors)
 
-    x_hat_b = tf.transpose(tf.cast(x_hat, tf.bool), (1, 0))
-    z_hat_b = tf.transpose(tf.cast(z_hat, tf.bool), (1, 0))
-    x_diff = tf.cast(
-        tf.math.logical_xor(tf.cast(noise_x_T, tf.bool), x_hat_b), tf.int64
-    )
-    z_diff = tf.cast(
-        tf.math.logical_xor(tf.cast(noise_z_T, tf.bool), z_hat_b), tf.int64
-    )
-    sx = int_mod_2(tf.matmul(hz, x_diff))
-    sz = int_mod_2(tf.matmul(hx, z_diff))
-    lsx = int_mod_2(tf.matmul(tf.constant(code.hx_perp, tf.int64), x_diff))
-    lsz = int_mod_2(tf.matmul(tf.constant(code.hz_perp, tf.int64), z_diff))
-    flagged = np.asarray(
-        tf.reduce_any(tf.not_equal(tf.concat([sx, sz], 0), 0), axis=0)
-    )
-    logical = np.asarray(
-        tf.reduce_any(tf.not_equal(tf.concat([lsx, lsz], 0), 0), axis=0)
-    )
-    return flagged, logical
+            h_vn = tf.stack([llrx, llry, llrz], axis=-1)
+            # NOTE the reference's argument swap (feedback_gnn.py:335)
+            new_llr = G((h_vn, logit_hz_perp, logit_hx_perp, syndrome_x, syndrome_z))
+            (llrx, llry, llrz, x_hat_update, z_hat_update,
+             logit_hx_perp, logit_hz_perp) = dec2(
+                (tf.transpose(new_llr, (0, 2, 1)), syndrome_x, syndrome_z)
+            )
+            x_hat = tf.tensor_scatter_nd_update(
+                x_hat, tf.where(errors), x_hat_update[errors]
+            )
+            z_hat = tf.tensor_scatter_nd_update(
+                z_hat, tf.where(errors), z_hat_update[errors]
+            )
+
+        x_hat_b = tf.transpose(tf.cast(x_hat, tf.bool), (1, 0))
+        z_hat_b = tf.transpose(tf.cast(z_hat, tf.bool), (1, 0))
+        x_diff = tf.cast(
+            tf.math.logical_xor(tf.cast(noise_x_T, tf.bool), x_hat_b), tf.int64
+        )
+        z_diff = tf.cast(
+            tf.math.logical_xor(tf.cast(noise_z_T, tf.bool), z_hat_b), tf.int64
+        )
+        sx = int_mod_2(tf.matmul(hz, x_diff))
+        sz = int_mod_2(tf.matmul(hx, z_diff))
+        lsx = int_mod_2(tf.matmul(hx_perp, x_diff))
+        lsz = int_mod_2(tf.matmul(hz_perp, z_diff))
+        flagged = np.asarray(
+            tf.reduce_any(tf.not_equal(tf.concat([sx, sz], 0), 0), axis=0)
+        )
+        logical = np.asarray(
+            tf.reduce_any(tf.not_equal(tf.concat([lsx, lsz], 0), 0), axis=0)
+        )
+        return flagged, logical
+
+    return decode
 
 
 def decode_ours(code_name, noise_x, noise_z, nG, use_qc, p0=0.05):
@@ -207,12 +229,62 @@ def main():
                     "p with all three decoders and report paired (McNemar) "
                     "failure counts")
     ap.add_argument("--fresh-bs", type=int, default=4096)
+    ap.add_argument("--mine-ref", type=float, default=None, metavar="P",
+                    help="reference-conditioned mode (the reverse of "
+                    "--failures): mine failures of the TF REFERENCE cascade "
+                    "on fresh noise at p, then re-decode them with ours — "
+                    "'only reference fails' bounds the gap from the other "
+                    "side")
+    ap.add_argument("--mine-target", type=int, default=50)
+    ap.add_argument("--mine-max-batches", type=int, default=40)
+    ap.add_argument("--save", default=None,
+                    help="npz path for the mined reference-failure set")
     ap.add_argument("--code", default="n882")
     ap.add_argument("-nG", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-qc", action="store_true",
                     help="skip the Pallas-interpret re-decode (slow on CPU)")
     args = ap.parse_args()
+
+    if args.mine_ref is not None:
+        import time
+
+        code_name, nG = args.code, args.nG
+        n = 882 if code_name == "n882" else 1270
+        xs, zs = [], []
+        blocks = 0
+        t0 = time.time()
+        for b in range(args.mine_max_batches):
+            x, z = fresh_noise(args.mine_ref, args.fresh_bs, n,
+                               args.seed * 100003 + b)
+            _, ref_l = decode_reference(code_name, x, z, nG)
+            xs.append(x[ref_l])
+            zs.append(z[ref_l])
+            blocks += args.fresh_bs
+            mined = sum(a.shape[0] for a in xs)
+            print(f"[{time.time()-t0:7.1f}s] batch {b+1}: reference failed "
+                  f"{int(ref_l.sum())}/{args.fresh_bs} -> {mined} mined "
+                  f"of {blocks} blocks", flush=True)
+            if mined >= args.mine_target:
+                break
+        x, z = np.vstack(xs), np.vstack(zs)
+        print(f"{x.shape[0]} REFERENCE-failing samples at p={args.mine_ref} "
+              f"(from {blocks} blocks, ref LER {x.shape[0]/blocks:.3g})")
+        if args.save:
+            np.savez_compressed(args.save, x=x, z=z, code=code_name, nG=nG,
+                                p=args.mine_ref, blocks=blocks)
+        ours_f, ours_l = decode_ours(code_name, x, z, nG, use_qc=False)
+        print(f"ours (XLA path, CPU) : {int(ours_l.sum())}/{len(ours_l)} "
+              f"logical errors, {int(ours_f.sum())} flagged")
+        if not args.skip_qc:
+            qc_f, qc_l = decode_ours(code_name, x, z, nG, use_qc=True)
+            print(f"ours (QC kernel, CPU): {int(qc_l.sum())}/{len(qc_l)} "
+                  f"logical errors, {int(qc_f.sum())} flagged")
+        print("interpretation: this set is conditioned on the REFERENCE "
+              "failing; 'ours decodes k of them' bounds the reference's "
+              "excess — pair with the --failures direction for the full "
+              "two-sided confusion.")
+        return
 
     if args.fresh is not None:
         code_name, nG = args.code, args.nG
