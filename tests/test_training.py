@@ -86,3 +86,37 @@ def test_mix_and_iterate(setup):
     assert len(batches) == (40 + 15) // 8
     bx, bz = batches[0]
     assert bx.shape == (10, 8)  # [n, B] device layout
+
+
+def test_compacted_miner_matches_uncompacted(setup):
+    """compact_cap returns exactly the flagged subset (order-preserving
+    front-pack, uint8) plus the kept count — the device-side compaction
+    that makes mining compute-bound instead of transfer-bound over the
+    tunneled TPU."""
+    from feedback_gnn_tpu.train import make_bp_failure_miner
+
+    code, graph, params = setup
+    key = jax.random.PRNGKey(5)
+    plain = make_bp_failure_miner(graph, num_iter=12)
+    compact = make_bp_failure_miner(graph, num_iter=12, compact_cap=32)
+    nx, nz, flagged = plain(key, 6, 128)
+    cx, cz, kept = compact(key, 6, 128)
+    mask = np.asarray(flagged)
+    k = int(kept)
+    assert k == min(int(mask.sum()), 32)
+    assert cx.dtype == jnp.uint8 and cx.shape == (graph.n, 32)
+    np.testing.assert_array_equal(
+        np.asarray(cx)[:, :k], np.asarray(nx)[:, mask][:, :k]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cz)[:, :k], np.asarray(nz)[:, mask][:, :k]
+    )
+
+    # undersized cap keeps the first `cap` flagged samples
+    tiny = make_bp_failure_miner(graph, num_iter=12, compact_cap=2)
+    tx, tz, tkept = tiny(key, 6, 128)
+    assert int(tkept) == min(int(mask.sum()), 2)
+    np.testing.assert_array_equal(
+        np.asarray(tx)[:, : int(tkept)],
+        np.asarray(nx)[:, mask][:, : int(tkept)],
+    )
