@@ -110,7 +110,9 @@ def main():
     else:
         from sionna.fec.ldpc.decoding import LDPCBPDecoder
 
-        dec = LDPCBPDecoder(code.hx, is_syndrome=True, hard_out=True,
+        # exact BP2_OSD_Model decoder construction (OSD.ipynb cell 1):
+        # hard_out=False; noise_hat = (-1 * logits) < 0 (bp_osd.py:225-227)
+        dec = LDPCBPDecoder(code.hx, is_syndrome=True, hard_out=False,
                             cn_type="minsum", num_iter=100,
                             normalization_factor=0.8)
         hx = tf.constant(code.hx, tf.int64)
@@ -125,10 +127,10 @@ def main():
             nT = tf.constant(noise.T)
             s = tf.cast(int_mod_2(tf.matmul(hx, nT)), tf.float32)
             llr = tf.fill((args.bs, n), llr_const)
-            # reference semantics: decoder returns the noise estimate given
-            # (llr_ch, syndrome); logits negated internally (decoding.py:940)
-            n_hat = dec((llr, s))
-            d = tf.bitwise.bitwise_xor(tf.transpose(tf.cast(n_hat, tf.int64)), nT)
+            # reference semantics: llr_hat = -decoder_out, noise = llr_hat<0
+            llr_hat = -1.0 * dec((llr, s))
+            n_hat = tf.cast(tf.less(llr_hat, 0.0), tf.int64)
+            d = tf.bitwise.bitwise_xor(tf.transpose(n_hat), nT)
             s_hat = int_mod_2(tf.matmul(hx, d))
             ls_hat = int_mod_2(tf.matmul(lx, d))
             flg = np.asarray(tf.reduce_any(s_hat != 0, axis=0))
