@@ -111,10 +111,28 @@ def main():
         from sionna.fec.ldpc.decoding import LDPCBPDecoder
 
         # exact BP2_OSD_Model decoder construction (OSD.ipynb cell 1):
-        # hard_out=False; noise_hat = (-1 * logits) < 0 (bp_osd.py:225-227)
+        # hard_out=False; noise_hat = (-1 * logits) < 0 (bp_osd.py:225-227).
+        # Must run under XLA: the ragged minsum path crashes in eager mode
+        # (the reference only ever calls it inside jit_compile=True models).
         dec = LDPCBPDecoder(code.hx, is_syndrome=True, hard_out=False,
                             cn_type="minsum", num_iter=100,
                             normalization_factor=0.8)
+        # The reference's BINARY decoder lacks the scipy>=1.11 edge-order
+        # fix its quaternary decoder has (decoding_q.py:66-71): sp.sparse
+        # .find on csr now returns row-major edges, so _vn_row_splits is
+        # garbage and the decoder crashes ([2647,bs] vs [882,bs]).  Apply
+        # the same fix to the instance before tracing.
+        idx = np.argsort(dec._vn_con, kind="stable")
+        dec._cn_con = dec._cn_con[idx]
+        dec._vn_con = dec._vn_con[idx]
+        dec._ind_cn = np.argsort(dec._cn_con)
+        dec._ind_cn_inv = np.argsort(dec._ind_cn)
+        dec._vn_row_splits = dec._gen_node_mask_row(dec._vn_con)
+        dec._cn_row_splits = dec._gen_node_mask_row(dec._cn_con[dec._ind_cn])
+        dec_x = tf.function(
+            lambda llr, s: dec((llr, s)), jit_compile=True,
+            reduce_retracing=True,
+        )
         hx = tf.constant(code.hx, tf.int64)
         lx = tf.constant(code.lx, tf.int64)
         # true-LLR prior of the BSC (reference BP2_OSD_Model convention)
@@ -128,7 +146,7 @@ def main():
             s = tf.cast(int_mod_2(tf.matmul(hx, nT)), tf.float32)
             llr = tf.fill((args.bs, n), llr_const)
             # reference semantics: llr_hat = -decoder_out, noise = llr_hat<0
-            llr_hat = -1.0 * dec((llr, s))
+            llr_hat = -1.0 * dec_x(llr, s)
             n_hat = tf.cast(tf.less(llr_hat, 0.0), tf.int64)
             d = tf.bitwise.bitwise_xor(tf.transpose(n_hat), nT)
             s_hat = int_mod_2(tf.matmul(hx, d))
