@@ -129,10 +129,10 @@ def main():
         dec._ind_cn_inv = np.argsort(dec._ind_cn)
         dec._vn_row_splits = dec._gen_node_mask_row(dec._vn_con)
         dec._cn_row_splits = dec._gen_node_mask_row(dec._cn_con[dec._ind_cn])
-        dec_x = tf.function(
-            lambda llr, s: dec((llr, s)), jit_compile=True,
-            reduce_retracing=True,
-        )
+        # graph-mode (not XLA: tf2xla fails on the ragged minsum where();
+        # eager works once the edge order is fixed)
+        dec_x = tf.function(lambda llr, s: dec((llr, s)),
+                            reduce_retracing=True)
         hx = tf.constant(code.hx, tf.int64)
         lx = tf.constant(code.lx, tf.int64)
         # true-LLR prior of the BSC (reference BP2_OSD_Model convention)
