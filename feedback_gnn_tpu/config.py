@@ -111,6 +111,15 @@ def make_eval_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rounds-cap", type=float, default=None, metavar="FRAC",
                     help="second-level compaction for the GNN rounds "
                     "(see CascadeConfig.round_fraction)")
+    ap.add_argument("--rescue-phi", default=None,
+                    choices=["expm1", "tf", "accurate"],
+                    help="formulation-ensemble rescue: re-decode samples "
+                    "still flagged after the cascade with this phi "
+                    "formulation and adopt syndrome-consistent rescues "
+                    "(see CascadeConfig.rescue_phi)")
+    ap.add_argument("--rescue-cap", type=float, default=0.02, metavar="FRAC",
+                    help="rescue sub-batch capacity as a fraction of the "
+                    "batch (see CascadeConfig.rescue_fraction)")
     return ap
 
 
@@ -133,6 +142,8 @@ def config_from_args(args) -> EvalConfig:
             compact_fraction=args.compact,
             stage1_prepass=args.prepass,
             round_fraction=args.rounds_cap,
+            rescue_phi=args.rescue_phi,
+            rescue_fraction=args.rescue_cap,
         ),
         weights=args.weights,
         seed=args.seed,

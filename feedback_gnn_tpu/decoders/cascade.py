@@ -21,7 +21,7 @@ per-Hx-row logit (z_logit of bp4) and ``logit_hz`` is the per-Hz-row logit
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any, Sequence
 
 import jax
@@ -31,6 +31,7 @@ import numpy as np
 from ..channels.pauli import depolarizing_probs, pauli_fixed_weight, pauli_iid
 from ..codes.graph import QuantumGraph
 from ..ops.gf2mat import mod2_matmul
+from . import cn_update
 from .bp4 import bp4_decode
 from .gnn_feedback import feedback_gnn_apply
 
@@ -90,6 +91,25 @@ class CascadeConfig:
     # fail-safe overflow semantics.  None = rounds run on the first-level
     # subset.
     round_fraction: float | None = None
+    # Formulation-ensemble rescue: after the full cascade, re-decode the
+    # samples that are STILL flagged (syndrome-inconsistent) with a second
+    # phi formulation (cn_update._PHI_IMPLS), and adopt the rescue estimate
+    # only where it is syndrome-consistent.  Motivation (RESULTS.md "Error
+    # floor"): at the p<=0.05 floor every logical error is a flagged
+    # sample, and the failure sets of the formulations are largely
+    # disjoint — re-decoding expm1 failures with 'accurate' rescues ~75 %
+    # of them (runs/tpu_diag_p05.log), so the joint failure rate drops
+    # well below either formulation alone.  Adopting only syndrome-
+    # consistent rescues guarantees the flagged count never increases.
+    # The rescue sub-batch is tiny (rescue_fraction of the batch,
+    # tile-rounded; final-flagged rates at the floor are ~1e-6), so the
+    # extra cost per MC batch is one small-batch cascade.  None = off.
+    # Requires axis_name None (same gather restriction as compaction).
+    rescue_phi: str | None = None
+    # capacity of the rescue sub-batch as a fraction of the full batch;
+    # overflow samples keep the main-cascade estimate (fail-safe,
+    # pessimistic) and are reported via the overflow counter
+    rescue_fraction: float = 0.02
 
 
 def prior_llr(p0, n, batch, n_pad=None):
@@ -218,15 +238,26 @@ def sandwich_decode(
     x_hat, z_hat = res.x_hat, res.z_hat
     b = x_hat.shape[-1]
 
+    def finish(x_hat, z_hat, overflow):
+        if cfg.rescue_phi is not None:
+            x_hat, z_hat, r_ov = _ensemble_rescue(
+                graph, gnn_params_list, cfg, llr0, syndrome_x, syndrome_z,
+                gt_sx, gt_sz, x_hat, z_hat, axis_name=axis_name, qc=qc,
+            )
+            overflow = overflow + r_ov
+        if with_overflow:
+            return x_hat, z_hat, overflow
+        return x_hat, z_hat
+
     if not cfg.compact_fraction:  # None and 0.0 both mean "off"
         assert not cfg.round_fraction, (
             "round_fraction requires compact_fraction (the second-level "
             "subset is taken from the first-level one)"
         )
-        out = gnn_rounds(
+        x_hat, z_hat = gnn_rounds(
             res, x_hat, z_hat, syndrome_x, syndrome_z, gt, jnp.ones(b, bool)
         )
-        return out + (jnp.int32(0),) if with_overflow else out
+        return finish(x_hat, z_hat, jnp.int32(0))
 
     # ---- flagged-sample compaction (see CascadeConfig.compact_fraction) ----
     if axis_name is not None:
@@ -297,9 +328,7 @@ def sandwich_decode(
         x_sub, z_sub = gnn_rounds(sub_res, x_s, z_s, syn_x_s, syn_z_s, gt_s, valid)
     x_hat = x_hat.at[:, idx].set(x_sub)
     z_hat = z_hat.at[:, idx].set(z_sub)
-    if with_overflow:
-        return x_hat, z_hat, overflow
-    return x_hat, z_hat
+    return finish(x_hat, z_hat, overflow)
 
 
 def sandwich_eval_step(
@@ -404,3 +433,70 @@ def sandwich_eval_step(
     if return_overflow:
         return flagged_count, logical_count, dec[2]
     return flagged_count, logical_count
+
+
+def _ensemble_rescue(
+    graph, gnn_params_list, cfg, llr0, syndrome_x, syndrome_z,
+    gt_sx, gt_sz, x_hat, z_hat, axis_name=None, qc=None,
+):
+    """Re-decode still-flagged samples with ``cfg.rescue_phi`` and adopt the
+    rescue estimate where it is syndrome-consistent (CascadeConfig.rescue_phi).
+
+    The alternate formulation is baked in at trace time by toggling the
+    module-global phi implementation around the traced sub-cascade (both the
+    XLA path and the Pallas QC kernel read it during tracing), so the main
+    pass and the rescue pass coexist in one XLA program.
+    """
+    assert cfg.rescue_phi in cn_update._PHI_IMPLS, cfg.rescue_phi
+    if axis_name is not None:
+        raise ValueError(
+            "rescue_phi requires unsharded PCM rows (edge_shards=1): the "
+            "flagged-first gather needs each sample's full syndrome on one "
+            "shard (same restriction as compact_fraction)"
+        )
+    hz = jnp.asarray(graph.hz)
+    hx = jnp.asarray(graph.hx)
+    b = x_hat.shape[-1]
+    tile = cfg.qc_batch_tile if qc is not None else 8
+    cap = min(b, -(-int(np.ceil(cfg.rescue_fraction * b)) // tile) * tile)
+
+    # still-flagged after the full cascade: estimate syndromes != ground truth
+    flags = jnp.logical_or(
+        jnp.any(mod2_matmul(hz, x_hat) != gt_sx, axis=0),
+        jnp.any(mod2_matmul(hx, z_hat) != gt_sz, axis=0),
+    )
+    order = jnp.argsort(jnp.logical_not(flags), stable=True)
+    idx = order[:cap]
+    valid = flags[idx]
+    overflow = jnp.sum(flags.astype(jnp.int32)) - jnp.sum(valid.astype(jnp.int32))
+
+    def take(a):
+        return jnp.take(a, idx, axis=-1)
+
+    syn_x_s, syn_z_s = take(syndrome_x), take(syndrome_z)
+    gt_sx_s, gt_sz_s = take(gt_sx), take(gt_sz)
+    # the rescue sub-batch is already compacted; run the plain cascade on it
+    rcfg = replace(
+        cfg, compact_fraction=None, round_fraction=None, stage1_prepass=None,
+        rescue_phi=None,
+    )
+    prev = cn_update._PHI_IMPL
+    cn_update.set_phi_impl(cfg.rescue_phi)
+    try:
+        rx, rz = sandwich_decode(
+            graph, gnn_params_list, rcfg, take(llr0), syn_x_s, syn_z_s,
+            gt_sx_s, gt_sz_s, qc=qc,
+        )
+    finally:
+        cn_update.set_phi_impl(prev)
+
+    converged = jnp.logical_and(
+        jnp.all(mod2_matmul(hz, rx) == gt_sx_s, axis=0),
+        jnp.all(mod2_matmul(hx, rz) == gt_sz_s, axis=0),
+    )
+    adopt = jnp.logical_and(valid, converged)[None, :]
+    x_sub = jnp.where(adopt, rx, take(x_hat))
+    z_sub = jnp.where(adopt, rz, take(z_hat))
+    x_hat = x_hat.at[:, idx].set(x_sub)
+    z_hat = z_hat.at[:, idx].set(z_sub)
+    return x_hat, z_hat, overflow

@@ -61,7 +61,7 @@ def run(cfg):
 
             qc = qc_pair_from_code(code)
             assert qc is not None, "code has no block-circulant structure"
-        track_overflow = bool(cfg.cascade.compact_fraction)
+        track_overflow = bool(cfg.cascade.compact_fraction or cfg.cascade.rescue_phi)
         step = make_sharded_eval_step(
             mesh, stacked, [params], cfg.cascade,
             cfg.batch_size // cfg.data_shards, qc=qc,
@@ -75,7 +75,7 @@ def run(cfg):
             qc = qc_pair_from_code(code)
             assert qc is not None, "code has no block-circulant structure"
 
-        track_overflow = bool(cfg.cascade.compact_fraction)
+        track_overflow = bool(cfg.cascade.compact_fraction or cfg.cascade.rescue_phi)
 
         @jax.jit
         def step(key, p):

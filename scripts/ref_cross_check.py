@@ -159,7 +159,8 @@ def _build_ref_cascade(code_name, bs, nG):
     return decode
 
 
-def decode_ours(code_name, noise_x, noise_z, nG, use_qc, p0=0.05):
+def decode_ours(code_name, noise_x, noise_z, nG, use_qc, p0=0.05,
+                rescue_phi=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -177,7 +178,8 @@ def decode_ours(code_name, noise_x, noise_z, nG, use_qc, p0=0.05):
     graph = QuantumGraph.from_code(code, stage_mode=True)
     qc = qc_pair_from_code(code) if use_qc else None
     params = load_weights(CODE_REGISTRY[code_name]["weights"])
-    cfg = CascadeConfig(num_iter1=64, num_iter2=16, num_rounds=nG, p0=p0)
+    cfg = CascadeConfig(num_iter1=64, num_iter2=16, num_rounds=nG, p0=p0,
+                        rescue_phi=rescue_phi, rescue_fraction=1.0)
 
     n, n_pad = graph.n, graph.n_pad
     b = noise_x.shape[0]

@@ -179,3 +179,48 @@ def test_overflow_counter(small_code):
     assert int(ov_full) == 0
     # overflowed samples keep the stage-1 estimate: pessimistic, never better
     assert int(f_full) <= int(f_tiny)
+
+
+def test_ensemble_rescue(small_code):
+    """CascadeConfig.rescue_phi invariants:
+
+    * rescue with the SAME formulation is a no-op (the deterministic
+      re-decode reproduces the still-flagged estimate, so nothing is
+      syndrome-consistent to adopt) — counts identical;
+    * rescue with a DIFFERENT formulation only adopts syndrome-consistent
+      estimates — the flagged count can never increase;
+    * an undersized rescue capacity reports overflow, full capacity zero.
+    """
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.decoders import (
+        CascadeConfig,
+        init_feedback_gnn,
+        sandwich_eval_step,
+    )
+
+    graph = QuantumGraph.from_code(small_code, stage_mode=True)
+    params = init_feedback_gnn(jax.random.PRNGKey(0))
+    key, p, b = jax.random.PRNGKey(2), jnp.float32(0.12), 256
+
+    def run(rescue_phi, rescue_fraction=1.0):
+        cfg = CascadeConfig(
+            num_iter1=8, num_iter2=4, num_rounds=1,
+            rescue_phi=rescue_phi, rescue_fraction=rescue_fraction,
+        )
+        return jax.jit(
+            lambda k, pp: sandwich_eval_step(
+                graph, [params], cfg, k, pp, b, return_overflow=True
+            )
+        )(key, p)
+
+    f0, l0, ov0 = run(None)
+    assert int(ov0) == 0
+    f_same, l_same, _ = run("expm1")  # production default = expm1
+    assert (int(f_same), int(l_same)) == (int(f0), int(l0))
+    f_acc, l_acc, ov_acc = run("accurate")
+    assert int(f_acc) <= int(f0)
+    assert int(ov_acc) == 0
+    # undersized capacity: overflow reported, fail-safe (flags >= full-cap)
+    f_tiny, _, ov_tiny = run("accurate", rescue_fraction=1.0 / b)
+    assert int(ov_tiny) > 0
+    assert int(f_tiny) >= int(f_acc)
