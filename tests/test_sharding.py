@@ -329,3 +329,35 @@ def test_data_sharded_eval_overflow_plumbed(setup):
         tot_f += int(ff)
         tot_l += int(ll)
     assert int(f2) == tot_f and int(l2) == tot_l
+
+
+def test_data_sharded_eval_with_rescue(setup):
+    """rescue_phi composes with DP sharding (edge=1): per-shard counts match
+    the unsharded rescue run exactly (same per-shard folded keys)."""
+    import dataclasses
+
+    from feedback_gnn_tpu.decoders import sandwich_eval_step
+    from feedback_gnn_tpu.parallel import (
+        make_mesh,
+        make_sharded_eval_step,
+        shard_quantum_graph,
+    )
+
+    graph, params, cfg = setup
+    cfg_r = dataclasses.replace(cfg, rescue_phi="accurate", rescue_fraction=1.0)
+    mesh = make_mesh(data=4, edge=1, devices=jax.devices()[:4])
+    stacked = shard_quantum_graph(graph, 1)
+    step = make_sharded_eval_step(
+        mesh, stacked, [params], cfg_r, local_batch=64, return_overflow=True
+    )
+    f, l, ov = step(jax.random.PRNGKey(5), jnp.float32(0.12))
+    assert int(ov) == 0
+    tot_f = tot_l = 0
+    for d in range(4):
+        k = jax.random.fold_in(jax.random.PRNGKey(5), d)
+        ff, ll = jax.jit(
+            lambda k, p: sandwich_eval_step(graph, [params], cfg_r, k, p, 64)
+        )(k, jnp.float32(0.12))
+        tot_f += int(ff)
+        tot_l += int(ll)
+    assert (int(f), int(l)) == (tot_f, tot_l)
