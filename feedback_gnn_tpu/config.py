@@ -111,11 +111,11 @@ def make_eval_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rounds-cap", type=float, default=None, metavar="FRAC",
                     help="second-level compaction for the GNN rounds "
                     "(see CascadeConfig.round_fraction)")
-    ap.add_argument("--rescue-phi", default=None,
-                    choices=["expm1", "tf", "accurate"],
+    ap.add_argument("--rescue-phi", default=None, metavar="IMPL[,IMPL...]",
                     help="formulation-ensemble rescue: re-decode samples "
-                    "still flagged after the cascade with this phi "
-                    "formulation and adopt syndrome-consistent rescues "
+                    "still flagged after the cascade with these phi "
+                    "formulations (expm1|tf|accurate, comma-chained) and "
+                    "adopt syndrome-consistent rescues "
                     "(see CascadeConfig.rescue_phi)")
     ap.add_argument("--rescue-cap", type=float, default=0.02, metavar="FRAC",
                     help="rescue sub-batch capacity as a fraction of the "

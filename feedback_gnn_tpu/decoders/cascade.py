@@ -104,6 +104,9 @@ class CascadeConfig:
     # The rescue sub-batch is tiny (rescue_fraction of the batch,
     # tile-rounded; final-flagged rates at the floor are ~1e-6), so the
     # extra cost per MC batch is one small-batch cascade.  None = off.
+    # A comma-separated list ("tf,accurate") chains rescue stages: each
+    # formulation re-decodes only the remnant still flagged after the
+    # previous one (monotone — each stage can only clear flags).
     # Requires axis_name None (same gather restriction as compaction).
     rescue_phi: str | None = None
     # capacity of the rescue sub-batch as a fraction of the full batch;
@@ -240,11 +243,13 @@ def sandwich_decode(
 
     def finish(x_hat, z_hat, overflow):
         if cfg.rescue_phi is not None:
-            x_hat, z_hat, r_ov = _ensemble_rescue(
-                graph, gnn_params_list, cfg, llr0, syndrome_x, syndrome_z,
-                gt_sx, gt_sz, x_hat, z_hat, axis_name=axis_name, qc=qc,
-            )
-            overflow = overflow + r_ov
+            for impl in cfg.rescue_phi.split(","):
+                x_hat, z_hat, r_ov = _ensemble_rescue(
+                    graph, gnn_params_list, cfg, impl.strip(), llr0,
+                    syndrome_x, syndrome_z, gt_sx, gt_sz, x_hat, z_hat,
+                    axis_name=axis_name, qc=qc,
+                )
+                overflow = overflow + r_ov
         if with_overflow:
             return x_hat, z_hat, overflow
         return x_hat, z_hat
@@ -436,18 +441,19 @@ def sandwich_eval_step(
 
 
 def _ensemble_rescue(
-    graph, gnn_params_list, cfg, llr0, syndrome_x, syndrome_z,
+    graph, gnn_params_list, cfg, rescue_impl, llr0, syndrome_x, syndrome_z,
     gt_sx, gt_sz, x_hat, z_hat, axis_name=None, qc=None,
 ):
-    """Re-decode still-flagged samples with ``cfg.rescue_phi`` and adopt the
-    rescue estimate where it is syndrome-consistent (CascadeConfig.rescue_phi).
+    """Re-decode still-flagged samples with the ``rescue_impl`` phi
+    formulation and adopt the rescue estimate where it is syndrome-
+    consistent (CascadeConfig.rescue_phi).
 
     The alternate formulation is baked in at trace time by toggling the
     module-global phi implementation around the traced sub-cascade (both the
     XLA path and the Pallas QC kernel read it during tracing), so the main
     pass and the rescue pass coexist in one XLA program.
     """
-    assert cfg.rescue_phi in cn_update._PHI_IMPLS, cfg.rescue_phi
+    assert rescue_impl in cn_update._PHI_IMPLS, rescue_impl
     if axis_name is not None:
         raise ValueError(
             "rescue_phi requires unsharded PCM rows (edge_shards=1): the "
@@ -481,7 +487,7 @@ def _ensemble_rescue(
         rescue_phi=None,
     )
     prev = cn_update._PHI_IMPL
-    cn_update.set_phi_impl(cfg.rescue_phi)
+    cn_update.set_phi_impl(rescue_impl)
     try:
         rx, rz = sandwich_decode(
             graph, gnn_params_list, rcfg, take(llr0), syn_x_s, syn_z_s,
