@@ -145,6 +145,15 @@ def main():
                     help="mining batches per weight (x batch-size = samples "
                     "scanned per wt; the reference scans 50 x 50000)")
     ap.add_argument("--mine-batch-size", type=int, default=8192)
+    ap.add_argument("--hard-mine-batches", type=int, default=None,
+                    help="mining batches per weight for the HARD phase "
+                    "(default: --mine-batches)")
+    ap.add_argument("--hard-mine-batch-size", type=int, default=None,
+                    help="batch size for the HARD phase (default: "
+                    "--mine-batch-size).  The cascade miner's XLA program "
+                    "fails to remote-compile at 8192 on the tunneled axon "
+                    "backend (hangs; diagnosed round 4) — 2048/4096 compile "
+                    "fine")
     ap.add_argument("--mine-compact-cap", type=int, default=2048,
                     help="device-side failure-compaction width per batch")
     ap.add_argument("--easy-cap", type=int, default=12000, help="kept failures per wt")
@@ -211,8 +220,10 @@ def main():
     hminer = make_cascade_failure_miner(graph, coarse, num_iter1=64,
                                         num_iter2=64, wt_max=wt_max,
                                         compact_cap=args.mine_compact_cap)
+    hard_batches = args.hard_mine_batches or args.mine_batches
+    hard_bs = args.hard_mine_batch_size or args.mine_batch_size
     hx, hz = mine_phase(hminer, jax.random.fold_in(key, 3), weights,
-                        args.mine_batches, args.mine_batch_size,
+                        hard_batches, hard_bs,
                         args.hard_cap, f"{args.code}_hard", args.out_dir)
 
     # ---- phase 4: final model, 64/16 on easy + hard x oversample ----
