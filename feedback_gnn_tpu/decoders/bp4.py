@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.graph import QuantumGraph
-from .cn_update import CN_UPDATES, boxplus_rows
+from .cn_update import CN_UPDATES, boxplus_rows, cn_update_phi
 from .graph_ops import expand_vn, gather_to_cn, scatter_from_cn, vn_sum
 
 __all__ = ["BP4Result", "bp4_decode", "quaternary_to_binary_llrs", "hard_decision"]
@@ -110,12 +110,12 @@ def quaternary_to_binary_llrs(llrx, llry, llrz):
     return llr_x, llr_z
 
 
-def _cal_logit(llrx, llry, llrz, graph: QuantumGraph):
+def _cal_logit(llrx, llry, llrz, graph: QuantumGraph, phi_impl=None):
     """Check-satisfaction logits over pcm_x_perp / pcm_z_perp rows
     (decoding_q.py:455-471)."""
     llr_x, llr_z = quaternary_to_binary_llrs(llrx, llry, llrz)
-    x_logit = boxplus_rows(llr_x, graph.logit_rows_x)
-    z_logit = boxplus_rows(llr_z, graph.logit_rows_z)
+    x_logit = boxplus_rows(llr_x, graph.logit_rows_x, phi_impl)
+    z_logit = boxplus_rows(llr_z, graph.logit_rows_z, phi_impl)
     return x_logit, z_logit
 
 
@@ -140,6 +140,7 @@ def bp4_decode(
     normalization_factor: float = 1.0,
     collect_logits: bool = False,
     axis_name: str | None = None,
+    phi_impl: str | None = None,
 ) -> BP4Result:
     """Run ``num_iter`` BP4 iterations.
 
@@ -150,8 +151,16 @@ def bp4_decode(
       collect_logits: also return the per-iteration logit stack used by the
         deep-supervision training loss (stage_two mode of the reference).
       axis_name: mesh axis for CN/edge-partitioned execution under shard_map.
+      phi_impl: explicit phi formulation for boxplus-phi CN updates and the
+        check-satisfaction logits (None = cn_update module default).  Used
+        by the formulation-ensemble rescue stage so the alternate
+        formulation is a function argument, not trace-time global state.
     """
-    cn_update = CN_UPDATES[cn_type]
+    if cn_type == "boxplus-phi":
+        def cn_update(msg, syn_pm, mask):
+            return cn_update_phi(msg, syn_pm, mask, phi_impl)
+    else:
+        cn_update = CN_UPDATES[cn_type]
     gx, gz = graph.gx, graph.gz
     b = llr_ch.shape[-1]
 
@@ -171,7 +180,7 @@ def bp4_decode(
         )
         ys = None
         if collect_logits:
-            ys = _cal_logit(llrx, llry, llrz, graph)
+            ys = _cal_logit(llrx, llry, llrz, graph, phi_impl)
 
         mcx = gather_to_cn(new_msg_x, gx)
         mcx = cn_update(mcx, syn_x_pm, cn_mask_x) * normalization_factor
@@ -198,7 +207,7 @@ def bp4_decode(
     llrx = s_z + llr_ch[0]
     llry = s_x + s_z + llr_ch[1]
     llrz = s_x + llr_ch[2]
-    x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph)
+    x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph, phi_impl)
 
     logit_stack = None
     if collect_logits:

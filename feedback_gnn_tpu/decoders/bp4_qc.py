@@ -78,17 +78,21 @@ def _roll_left(x, k, l, use_pltpu=True):
     return jnp.where(rows < l - k, a, b)
 
 
-def _phi(x):
+def _phi(x, impl=None):
     """phi(x) = log((e^x+1)/(e^x-1)) = -log(tanh(x/2)), reference clips
-    (decoding_q.py:48-51, 372-373).  Honors cn_update's phi-impl switch
-    (floor-numerics experiments) for the Mosaic-loweable formulations; the
-    kernel default is the tanh form (expm1 has no Mosaic lowering)."""
-    from . import cn_update
+    (decoding_q.py:48-51, 372-373).  ``impl`` selects a formulation
+    explicitly (floor-numerics experiments / the rescue stage); ``None``
+    falls back to cn_update's module default.  Only the Mosaic-loweable
+    formulations are honored; the kernel default is the tanh form (expm1
+    has no Mosaic lowering)."""
+    if impl is None:
+        from . import cn_update
 
+        impl = cn_update._PHI_IMPL
     x = jnp.clip(x, PHI_CLIP_MIN, PHI_CLIP_MAX)
-    if cn_update._PHI_IMPL == "tf":
+    if impl == "tf":
         out = jax.nn.softplus(x) - jnp.log(jnp.exp(x) - 1.0)
-    elif cn_update._PHI_IMPL == "accurate":
+    elif impl == "accurate":
         e = jnp.exp(-x)
         out = jnp.log1p(e) - jnp.log1p(-e)
     else:
@@ -152,7 +156,7 @@ def _vn_update(qc: QCPair, msg_x, msg_z, llr, use_pltpu=True):
     return new_x, new_z, llrx, llry, llrz
 
 
-def _cn_update(spec, msg, syn_pm, cn_type, factor):
+def _cn_update(spec, msg, syn_pm, cn_type, factor, phi_impl=None):
     """Extrinsic CN update on CN-frame planes.  syn_pm: [mb, l, Bt] in
     {+1,-1}."""
     out = [None] * len(msg)
@@ -162,10 +166,10 @@ def _cn_update(spec, msg, syn_pm, cn_type, factor):
         if cn_type == "boxplus-phi":
             signs = [_sign_no_zero(msg[g]) for g in gs]
             sprod = functools.reduce(lambda a, b: a * b, signs) * syn
-            ps = [_phi(jnp.abs(msg[g])) for g in gs]
+            ps = [_phi(jnp.abs(msg[g]), phi_impl) for g in gs]
             psum = functools.reduce(lambda a, b: a + b, ps)
             for k, g in enumerate(gs):
-                out[g] = signs[k] * sprod * _phi(psum - ps[k]) * factor
+                out[g] = signs[k] * sprod * _phi(psum - ps[k], phi_impl) * factor
         elif cn_type == "boxplus":
             ts = [jnp.tanh(msg[g] * 0.5) for g in gs]
             ts = [jnp.where(t == 0.0, 1e-12, t) for t in ts]
@@ -201,7 +205,7 @@ def _pad_l(l: int) -> int:
 
 
 def _make_kernel(qc: QCPair, num_iter, cn_type, factor, use_pltpu=True,
-                 msg_dtype=jnp.float32):
+                 msg_dtype=jnp.float32, phi_impl=None):
     """``msg_dtype``: storage dtype of the iteration-carried message state
     (bfloat16 halves the VMEM-resident carry; all arithmetic stays f32 —
     an accuracy/VMEM trade measured in the README perf study, NOT used for
@@ -227,8 +231,8 @@ def _make_kernel(qc: QCPair, num_iter, cn_type, factor, use_pltpu=True,
             new_x, new_z, _, _, _ = _vn_update(
                 qc, unstack(mx), unstack(mz), llr, use_pltpu
             )
-            cx = _cn_update(qx, new_x, synx, cn_type, factor)
-            cz = _cn_update(qz, new_z, synz, cn_type, factor)
+            cx = _cn_update(qx, new_x, synx, cn_type, factor, phi_impl)
+            cz = _cn_update(qz, new_z, synz, cn_type, factor, phi_impl)
             return stack(cx), stack(cz)
 
         init = (
@@ -262,6 +266,7 @@ def bp4_qc_marginals(
     batch_tile: int = 128,
     interpret: bool | None = None,
     msg_dtype=jnp.float32,
+    phi_impl: str | None = None,
 ):
     """Run the fused QC BP4 kernel.
 
@@ -303,7 +308,7 @@ def bp4_qc_marginals(
 
     kernel = _make_kernel(
         qc, num_iter, cn_type, float(normalization_factor),
-        use_pltpu=not interpret, msg_dtype=msg_dtype,
+        use_pltpu=not interpret, msg_dtype=msg_dtype, phi_impl=phi_impl,
     )
     grid = (b_pad // bt,)
     # under shard_map(check_vma=True) the output must declare how it varies
@@ -356,6 +361,7 @@ def bp4_decode_qc(
     interpret: bool | None = None,
     need_logits: bool = True,
     msg_dtype=jnp.float32,
+    phi_impl: str | None = None,
 ):
     """Drop-in replacement for ``bp4.bp4_decode`` (eval mode, no logit
     stack) backed by the fused kernel.  Accepts the cascade's padded
@@ -379,6 +385,7 @@ def bp4_decode_qc(
         batch_tile=batch_tile,
         interpret=interpret,
         msg_dtype=msg_dtype,
+        phi_impl=phi_impl,
     )
     n_pad = graph.n_pad
     b = llrx.shape[-1]
@@ -388,6 +395,6 @@ def bp4_decode_qc(
     llrz = jnp.pad(llrz, pad)
     x_logit = z_logit = None
     if need_logits:
-        x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph)
+        x_logit, z_logit = _cal_logit(llrx, llry, llrz, graph, phi_impl)
     x_hat, z_hat = hard_decision(llrx, llry, llrz)
     return BP4Result(llrx, llry, llrz, x_hat, z_hat, x_logit, z_logit, None)

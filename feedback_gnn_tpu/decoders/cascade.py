@@ -101,6 +101,11 @@ class CascadeConfig:
     # of them (runs/tpu_diag_p05.log), so the joint failure rate drops
     # well below either formulation alone.  Adopting only syndrome-
     # consistent rescues guarantees the flagged count never increases.
+    # NOTE: only the FLAGGED count is monotone; the logical-error count
+    # can in principle move either way (a syndrome-consistent but
+    # logically wrong rescue turns a detected failure into an undetected
+    # logical error) — the measured floor improvement is statistical,
+    # not structural.  See sandwich_decode's docstring.
     # The rescue sub-batch is tiny (rescue_fraction of the batch,
     # tile-rounded; final-flagged rates at the floor are ~1e-6), so the
     # extra cost per MC batch is one small-batch cascade.  None = off.
@@ -138,6 +143,7 @@ def sandwich_decode(
     axis_name: str | None = None,
     qc=None,
     with_overflow: bool = False,
+    phi_impl: str | None = None,
 ):
     """Decode given syndromes.  ``gt_sx``/``gt_sz`` are the target syndromes
     the estimate must reproduce (for the still-flagged tracking,
@@ -146,11 +152,25 @@ def sandwich_decode(
     ``qc`` (a codes.qc.QCPair) switches the BP runs onto the fused Pallas
     kernel (decoders/bp4_qc.py) — only valid un-sharded (axis_name None).
 
+    ``phi_impl`` selects the phi formulation of every BP run in this
+    cascade explicitly (None = cn_update module default); the rescue stage
+    passes its alternate formulation through this argument.
+
     Returns (x_hat, z_hat) int32 [n, B]; with ``with_overflow`` also an int32
-    scalar counting flagged samples that did not fit the compaction capacity
-    (those keep their earlier estimate — fail-safe but pessimistic; a
-    nonzero count means compact_fraction / round_fraction is undersized
-    for this operating point).
+    scalar counting DISTINCT flagged samples that did not fit a compaction
+    capacity at any level (level-1, level-2 rounds, or rescue; a sample
+    overflowing several levels counts once).  Those keep their earlier
+    estimate — fail-safe but pessimistic; a nonzero count means
+    compact_fraction / round_fraction / rescue_fraction is undersized for
+    this operating point.
+
+    Monotonicity note: only the FLAGGED count is monotone under the rescue
+    stage (a rescue is adopted only when syndrome-consistent, so flags can
+    only clear).  The LOGICAL count can in principle move either way — a
+    flagged sample may have ls_hat == 0 (detected failure, not a logical
+    error under the reference's accounting), and a syndrome-consistent but
+    logically wrong rescue flips it to an undetected logical error.  The
+    measured floor improvement (RESULTS.md) is statistical, not structural.
     """
     hz = jnp.asarray(graph.hz)
     hx = jnp.asarray(graph.hx)
@@ -171,7 +191,7 @@ def sandwich_decode(
             return bp4_decode_qc(
                 graph, qc, llr, syn_x, syn_z, num_iter, cfg.cn_type,
                 factor, batch_tile=cfg.qc_batch_tile, need_logits=need_logits,
-                msg_dtype=msg_dtype,
+                msg_dtype=msg_dtype, phi_impl=phi_impl,
             )
 
     else:
@@ -187,6 +207,7 @@ def sandwich_decode(
                 cfg.cn_type,
                 factor,
                 axis_name=axis_name,
+                phi_impl=phi_impl,
             )
 
     def gnn_rounds(res, x_hat, z_hat, syn_x, syn_z, gt, errors):
@@ -241,17 +262,21 @@ def sandwich_decode(
     x_hat, z_hat = res.x_hat, res.z_hat
     b = x_hat.shape[-1]
 
-    def finish(x_hat, z_hat, overflow):
+    def finish(x_hat, z_hat, ov_mask):
+        # ov_mask [B] int32 {0,1}: per-sample "lost a compaction capacity
+        # somewhere" indicator — the reported overflow counts DISTINCT
+        # samples, so a sample overflowing level 1 AND the rescue (or
+        # several chained rescue stages) is counted once.
         if cfg.rescue_phi is not None:
             for impl in cfg.rescue_phi.split(","):
-                x_hat, z_hat, r_ov = _ensemble_rescue(
+                x_hat, z_hat, r_ov_mask = _ensemble_rescue(
                     graph, gnn_params_list, cfg, impl.strip(), llr0,
                     syndrome_x, syndrome_z, gt_sx, gt_sz, x_hat, z_hat,
-                    axis_name=axis_name, qc=qc,
+                    axis_name=axis_name, qc=qc, main_phi_impl=phi_impl,
                 )
-                overflow = overflow + r_ov
+                ov_mask = jnp.maximum(ov_mask, r_ov_mask)
         if with_overflow:
-            return x_hat, z_hat, overflow
+            return x_hat, z_hat, jnp.sum(ov_mask)
         return x_hat, z_hat
 
     if not cfg.compact_fraction:  # None and 0.0 both mean "off"
@@ -262,7 +287,7 @@ def sandwich_decode(
         x_hat, z_hat = gnn_rounds(
             res, x_hat, z_hat, syndrome_x, syndrome_z, gt, jnp.ones(b, bool)
         )
-        return finish(x_hat, z_hat, jnp.int32(0))
+        return finish(x_hat, z_hat, jnp.zeros(b, jnp.int32))
 
     # ---- flagged-sample compaction (see CascadeConfig.compact_fraction) ----
     if axis_name is not None:
@@ -300,7 +325,8 @@ def sandwich_decode(
         x_s, z_s = take(x_hat), take(z_hat)
 
     # samples flagged after stage 1 but beyond the level-1 capacity
-    overflow = jnp.sum(flags0.astype(jnp.int32)) - jnp.sum(valid.astype(jnp.int32))
+    covered = jnp.zeros(b, bool).at[idx].set(valid)
+    ov_mask = jnp.logical_and(flags0, jnp.logical_not(covered)).astype(jnp.int32)
 
     if cfg.round_fraction is not None:
         # second compaction level: the GNN rounds only act on samples still
@@ -313,9 +339,10 @@ def sandwich_decode(
         order2 = jnp.argsort(jnp.logical_not(flags1), stable=True)
         idx2 = order2[:cap2]
         valid2 = flags1[idx2]
-        overflow = overflow + (
-            jnp.sum(flags1.astype(jnp.int32)) - jnp.sum(valid2.astype(jnp.int32))
-        )
+        # level-2 overflow, mapped back to full-batch coordinates
+        covered2 = jnp.zeros(cap, bool).at[idx2].set(valid2)
+        sub_ov = jnp.logical_and(flags1, jnp.logical_not(covered2))
+        ov_mask = ov_mask.at[idx].max(sub_ov.astype(jnp.int32))
 
         def take2(a):
             return jnp.take(a, idx2, axis=-1)
@@ -333,7 +360,7 @@ def sandwich_decode(
         x_sub, z_sub = gnn_rounds(sub_res, x_s, z_s, syn_x_s, syn_z_s, gt_s, valid)
     x_hat = x_hat.at[:, idx].set(x_sub)
     z_hat = z_hat.at[:, idx].set(z_sub)
-    return finish(x_hat, z_hat, overflow)
+    return finish(x_hat, z_hat, ov_mask)
 
 
 def sandwich_eval_step(
@@ -442,18 +469,35 @@ def sandwich_eval_step(
 
 def _ensemble_rescue(
     graph, gnn_params_list, cfg, rescue_impl, llr0, syndrome_x, syndrome_z,
-    gt_sx, gt_sz, x_hat, z_hat, axis_name=None, qc=None,
+    gt_sx, gt_sz, x_hat, z_hat, axis_name=None, qc=None, main_phi_impl=None,
 ):
     """Re-decode still-flagged samples with the ``rescue_impl`` phi
     formulation and adopt the rescue estimate where it is syndrome-
     consistent (CascadeConfig.rescue_phi).
 
-    The alternate formulation is baked in at trace time by toggling the
-    module-global phi implementation around the traced sub-cascade (both the
-    XLA path and the Pallas QC kernel read it during tracing), so the main
-    pass and the rescue pass coexist in one XLA program.
+    The alternate formulation is threaded through ``sandwich_decode``'s
+    ``phi_impl`` argument (functional — no module-global state is touched
+    during tracing), so the main pass and the rescue pass coexist in one
+    XLA program.  ``main_phi_impl`` is the main cascade's explicit
+    formulation (None = module default), used only to warn when the rescue
+    formulation equals it — a guaranteed no-op that still pays a full
+    extra sub-batch cascade per MC batch.
+
+    Returns (x_hat, z_hat, ov_mask [B] int32) where ov_mask marks the
+    still-flagged samples beyond the rescue capacity.
     """
     assert rescue_impl in cn_update._PHI_IMPLS, rescue_impl
+    effective_main = main_phi_impl if main_phi_impl is not None else cn_update._PHI_IMPL
+    if rescue_impl == effective_main:
+        import warnings
+
+        warnings.warn(
+            f"rescue_phi formulation {rescue_impl!r} equals the main "
+            "cascade's phi formulation — the rescue stage is a guaranteed "
+            "no-op but still costs a full extra sub-batch cascade per "
+            "batch",
+            stacklevel=2,
+        )
     if axis_name is not None:
         raise ValueError(
             "rescue_phi requires unsharded PCM rows (edge_shards=1): the "
@@ -474,7 +518,8 @@ def _ensemble_rescue(
     order = jnp.argsort(jnp.logical_not(flags), stable=True)
     idx = order[:cap]
     valid = flags[idx]
-    overflow = jnp.sum(flags.astype(jnp.int32)) - jnp.sum(valid.astype(jnp.int32))
+    covered = jnp.zeros(b, bool).at[idx].set(valid)
+    ov_mask = jnp.logical_and(flags, jnp.logical_not(covered)).astype(jnp.int32)
 
     def take(a):
         return jnp.take(a, idx, axis=-1)
@@ -486,15 +531,10 @@ def _ensemble_rescue(
         cfg, compact_fraction=None, round_fraction=None, stage1_prepass=None,
         rescue_phi=None,
     )
-    prev = cn_update._PHI_IMPL
-    cn_update.set_phi_impl(rescue_impl)
-    try:
-        rx, rz = sandwich_decode(
-            graph, gnn_params_list, rcfg, take(llr0), syn_x_s, syn_z_s,
-            gt_sx_s, gt_sz_s, qc=qc,
-        )
-    finally:
-        cn_update.set_phi_impl(prev)
+    rx, rz = sandwich_decode(
+        graph, gnn_params_list, rcfg, take(llr0), syn_x_s, syn_z_s,
+        gt_sx_s, gt_sz_s, qc=qc, phi_impl=rescue_impl,
+    )
 
     converged = jnp.logical_and(
         jnp.all(mod2_matmul(hz, rx) == gt_sx_s, axis=0),
@@ -505,4 +545,4 @@ def _ensemble_rescue(
     z_sub = jnp.where(adopt, rz, take(z_hat))
     x_hat = x_hat.at[:, idx].set(x_sub)
     z_hat = z_hat.at[:, idx].set(z_sub)
-    return x_hat, z_hat, overflow
+    return x_hat, z_hat, ov_mask

@@ -55,7 +55,7 @@ def set_phi_impl(name: str):
     _PHI_IMPL = name
 
 
-def phi(x):
+def phi(x, impl: str | None = None):
     """phi(x) = log((e^x + 1)/(e^x - 1)), clipped as in the reference.
 
     The reference computes softplus(x) - log(exp(x)-1) and relies on TF-f32
@@ -66,11 +66,18 @@ def phi(x):
     the same interval; results agree with TF to ~1e-7 outside its own
     staircase-noise region (see tests/test_bp4_parity.py).  Alternative
     formulations above are selectable for floor-numerics experiments.
+
+    ``impl`` selects the formulation explicitly (functional — preferred
+    inside traced code, e.g. the formulation-ensemble rescue stage);
+    ``None`` falls back to the module default (_PHI_IMPL, env-settable).
     """
+    if impl is None:
+        impl = _PHI_IMPL
+    assert impl in _PHI_IMPLS, impl
     x = jnp.clip(x, PHI_CLIP_MIN, PHI_CLIP_MAX)
-    if _PHI_IMPL == "tf":
+    if impl == "tf":
         out = jax.nn.softplus(x) - jnp.log(jnp.exp(x) - 1.0)
-    elif _PHI_IMPL == "accurate":
+    elif impl == "accurate":
         e = jnp.exp(-x)
         out = jnp.log1p(e) - jnp.log1p(-e)
     else:
@@ -83,22 +90,23 @@ def _sign_no_zero(msg):
     return jnp.where(msg < 0, -1.0, 1.0)
 
 
-def cn_update_phi(msg_cn, syndrome_pm, mask):
+def cn_update_phi(msg_cn, syndrome_pm, mask, phi_impl: str | None = None):
     """Extrinsic boxplus via the phi function.
 
     msg_cn      : [dc, c_pad, B] float32 (pad slots hold 0)
     syndrome_pm : [c_pad, B] float32 in {+1,-1}
     mask        : [dc, c_pad] float32 in {0,1}
+    phi_impl    : explicit phi formulation (None = module default)
     """
     m = mask[:, :, None]
     sign_val = jnp.where(m > 0, _sign_no_zero(msg_cn), 1.0)
     sign_node = jnp.prod(sign_val, axis=0) * syndrome_pm  # [c_pad, B]
     sign_out = sign_val * sign_node[None]
 
-    p = phi(jnp.abs(msg_cn)) * m  # pad slots -> 0 contribution
+    p = phi(jnp.abs(msg_cn), phi_impl) * m  # pad slots -> 0 contribution
     p_sum = jnp.sum(p, axis=0)  # [c_pad, B]
     ext = p_sum[None] - p
-    return jax.lax.stop_gradient(sign_out) * phi(ext) * m
+    return jax.lax.stop_gradient(sign_out) * phi(ext, phi_impl) * m
 
 
 def cn_update_tanh(msg_cn, syndrome_pm, mask):
@@ -142,19 +150,20 @@ CN_UPDATES = {
 }
 
 
-def boxplus_rows(vals, rowset):
+def boxplus_rows(vals, rowset, phi_impl: str | None = None):
     """Boxplus (via phi) of per-VN LLRs over the rows of a PCM — the
     check-satisfaction logits of decoding_q.py:433-471 (_cn_update_phi_loss):
     no extrinsic split, no syndrome, gradient flows through magnitude only.
 
     vals   : [>= vn_sentinel+1, B] float32 with zero pad rows
     rowset : codes.graph.RowSet (slot-major aligned tables)
+    phi_impl : explicit phi formulation (None = module default)
     Returns [r_pad, B].
     """
     v = vals[rowset.vn_idx]  # [max_deg, r_pad, B]
     m = rowset.mask[:, :, None]
     sign_val = jnp.where(m > 0, _sign_no_zero(v), 1.0)
     sign_node = jnp.prod(sign_val, axis=0)  # [r_pad, B]
-    p = phi(jnp.abs(v)) * m
+    p = phi(jnp.abs(v), phi_impl) * m
     s = jnp.sum(p, axis=0)
-    return sign_node * phi(s)
+    return sign_node * phi(s, phi_impl)

@@ -215,12 +215,18 @@ def test_ensemble_rescue(small_code):
 
     f0, l0, ov0 = run(None)
     assert int(ov0) == 0
-    f_same, l_same, _ = run("expm1")  # production default = expm1
+    # "same formulation" must mean the ACTIVE module default, not a literal:
+    # the suite may run under FGT_PHI_IMPL=accurate (the A/B workflow)
+    from feedback_gnn_tpu.decoders import cn_update
+
+    with pytest.warns(UserWarning, match="guaranteed no-op"):
+        f_same, l_same, _ = run(cn_update._PHI_IMPL)
     assert (int(f_same), int(l_same)) == (int(f0), int(l0))
-    f_acc, l_acc, ov_acc = run("accurate")
+    other = "accurate" if cn_update._PHI_IMPL != "accurate" else "tf"
+    f_acc, l_acc, ov_acc = run(other)
     assert int(f_acc) <= int(f0)
     assert int(ov_acc) == 0
     # undersized capacity: overflow reported, fail-safe (flags >= full-cap)
-    f_tiny, _, ov_tiny = run("accurate", rescue_fraction=1.0 / b)
+    f_tiny, _, ov_tiny = run(other, rescue_fraction=1.0 / b)
     assert int(ov_tiny) > 0
     assert int(f_tiny) >= int(f_acc)
