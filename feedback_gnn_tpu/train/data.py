@@ -66,9 +66,26 @@ def _compact_failures(graph, noise_x, noise_z, flagged, cap):
     return nx, nz, kept
 
 
+def _make_run_bp(graph, qc, need_logits):
+    """BP backend selector for the miners: the fused Pallas QC kernel when
+    ``qc`` (a codes.qc.QCPair) is given — ~4x the XLA gather path on TPU,
+    which makes the big mining scans compute-bound at the kernel rate —
+    else ``bp4_decode``."""
+    if qc is None:
+        def run_bp(llr, syn_x, syn_z, num_iter, cn_type):
+            return bp4_decode(graph, llr, syn_x, syn_z, num_iter, cn_type)
+    else:
+        from ..decoders.bp4_qc import bp4_decode_qc
+
+        def run_bp(llr, syn_x, syn_z, num_iter, cn_type):
+            return bp4_decode_qc(graph, qc, llr, syn_x, syn_z, num_iter,
+                                 cn_type, need_logits=need_logits)
+    return run_bp
+
+
 def make_bp_failure_miner(
     graph: QuantumGraph, num_iter=64, p0=0.05, cn_type="boxplus-phi",
-    wt_max=None, compact_cap=None,
+    wt_max=None, compact_cap=None, qc=None,
 ):
     """Returns jitted (key, wt static, batch static) -> (noise_x [n,B],
     noise_z, flagged [B]) — BP4_Error_Model of Generate_dataset.ipynb cell 1.
@@ -76,7 +93,10 @@ def make_bp_failure_miner(
     With ``wt_max`` the weight argument is TRACED (one compile serves the
     whole wt <= wt_max mining schedule).  With ``compact_cap`` the output
     is instead (noise_x [n,cap] uint8, noise_z [n,cap] uint8, kept int32)
-    with failures densely packed at the front — see _compact_failures."""
+    with failures densely packed at the front — see _compact_failures.
+    ``qc`` switches the BP run onto the fused Pallas kernel."""
+
+    run_bp = _make_run_bp(graph, qc, need_logits=False)
 
     def sample(key, wt, batch):
         if wt_max is None:
@@ -91,7 +111,7 @@ def make_bp_failure_miner(
         syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
         syndrome_z = mod2_matmul(jnp.asarray(graph.hz), noise_x)
         llr0 = prior_llr(p0, graph.n, batch, n_pad=graph.n_pad)
-        res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter, cn_type)
+        res = run_bp(llr0, syndrome_x, syndrome_z, num_iter, cn_type)
         flagged = _flagged_after(graph, res.x_hat, res.z_hat, noise_x, noise_z)
         if compact_cap is not None:
             return _compact_failures(graph, noise_x, noise_z, flagged, compact_cap)
@@ -109,10 +129,13 @@ def make_cascade_failure_miner(
     cn_type="boxplus-phi",
     wt_max=None,
     compact_cap=None,
+    qc=None,
 ):
     """Hard-example miner: errors still flagged after BP64 -> coarse GNN ->
     BP64 (Feedback_GNN_Error_Model, Generate_dataset.ipynb cell 8).
-    ``wt_max`` / ``compact_cap``: see ``make_bp_failure_miner``."""
+    ``wt_max`` / ``compact_cap`` / ``qc``: see ``make_bp_failure_miner``."""
+
+    run_bp = _make_run_bp(graph, qc, need_logits=True)
 
     def sample(key, wt, batch):
         if wt_max is None:
@@ -127,12 +150,12 @@ def make_cascade_failure_miner(
         syndrome_x = mod2_matmul(jnp.asarray(graph.hx), noise_z)
         syndrome_z = mod2_matmul(jnp.asarray(graph.hz), noise_x)
         llr0 = prior_llr(p0, graph.n, batch, n_pad=graph.n_pad)
-        res = bp4_decode(graph, llr0, syndrome_x, syndrome_z, num_iter1, cn_type)
+        res = run_bp(llr0, syndrome_x, syndrome_z, num_iter1, cn_type)
         h_vn = jnp.stack([res.llrx, res.llry, res.llrz], axis=0)
         new_llr = feedback_gnn_apply(
             gnn_params, graph, h_vn, res.z_logit, res.x_logit, syndrome_x, syndrome_z
         )
-        res2 = bp4_decode(graph, new_llr, syndrome_x, syndrome_z, num_iter2, cn_type)
+        res2 = run_bp(new_llr, syndrome_x, syndrome_z, num_iter2, cn_type)
         flagged = _flagged_after(graph, res2.x_hat, res2.z_hat, noise_x, noise_z)
         if compact_cap is not None:
             return _compact_failures(graph, noise_x, noise_z, flagged, compact_cap)

@@ -160,6 +160,25 @@ def stage_two_loss(
     return loss, (s_hat, ls_hat)
 
 
+def _one_update(graph, cfg, optimizer, params, opt_state, noise_x, noise_z):
+    """One optimizer update: frozen stage-1 features + stage-2 grad step.
+    Shared body of make_train_step / make_train_step_multi."""
+    h_vn, logit_hx, logit_hz = stage_one_features(graph, cfg, noise_x, noise_z)
+    h_vn = jax.lax.stop_gradient(h_vn)
+    logit_hx = jax.lax.stop_gradient(logit_hx)
+    logit_hz = jax.lax.stop_gradient(logit_hz)
+
+    (loss, (s_hat, ls_hat)), grads = jax.value_and_grad(
+        stage_two_loss, has_aux=True
+    )(params, graph, cfg, noise_x, noise_z, h_vn, logit_hx, logit_hz)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    flagged_bler = jnp.mean(jnp.any(s_hat != 0, axis=0).astype(jnp.float32))
+    bler = jnp.mean(jnp.any(ls_hat != 0, axis=0).astype(jnp.float32))
+    return params, opt_state, loss, flagged_bler, bler
+
+
 def make_train_step(graph: QuantumGraph, cfg: TrainConfig, optimizer):
     """Returns a jitted train step:
     (params, opt_state, noise_x [n,B], noise_z [n,B]) ->
@@ -172,19 +191,38 @@ def make_train_step(graph: QuantumGraph, cfg: TrainConfig, optimizer):
 
     @jax.jit
     def step(params, opt_state, noise_x, noise_z):
-        h_vn, logit_hx, logit_hz = stage_one_features(graph, cfg, noise_x, noise_z)
-        h_vn = jax.lax.stop_gradient(h_vn)
-        logit_hx = jax.lax.stop_gradient(logit_hx)
-        logit_hz = jax.lax.stop_gradient(logit_hz)
+        return _one_update(graph, cfg, optimizer, params, opt_state, noise_x, noise_z)
 
-        (loss, (s_hat, ls_hat)), grads = jax.value_and_grad(
-            stage_two_loss, has_aux=True
-        )(params, graph, cfg, noise_x, noise_z, h_vn, logit_hx, logit_hz)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+    return step
 
-        flagged_bler = jnp.mean(jnp.any(s_hat != 0, axis=0).astype(jnp.float32))
-        bler = jnp.mean(jnp.any(ls_hat != 0, axis=0).astype(jnp.float32))
-        return params, opt_state, loss, flagged_bler, bler
+
+def make_train_step_multi(graph: QuantumGraph, cfg: TrainConfig, optimizer, k: int):
+    """``k`` sequential optimizer updates fused into ONE jitted call via
+    ``lax.scan`` over a stacked minibatch block.
+
+    (params, opt_state, noise_x [k,n,B], noise_z [k,n,B]) ->
+    (params, opt_state, losses [k], flagged [k], bler [k]).
+
+    Mathematically identical to k successive ``make_train_step`` calls on
+    the k minibatches; the point is host<->device round-trips: on a
+    tunneled remote backend the per-call dispatch latency (~0.1-0.5 s)
+    dominates the ~5 ms compute of a bs~100 step, so fusing k steps per
+    call raises training throughput ~k-fold (measured round 5; see
+    scripts/train_from_scratch.py --steps-per-call).
+    """
+    assert k >= 1, k
+
+    @jax.jit
+    def step(params, opt_state, noise_x, noise_z):
+        def body(carry, nb):
+            p, s = carry
+            nx, nz = nb
+            p, s, loss, fb, bl = _one_update(graph, cfg, optimizer, p, s, nx, nz)
+            return (p, s), (loss, fb, bl)
+
+        (params, opt_state), (losses, fb, bl) = jax.lax.scan(
+            body, (params, opt_state), (noise_x, noise_z)
+        )
+        return params, opt_state, losses, fb, bl
 
     return step

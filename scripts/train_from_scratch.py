@@ -41,13 +41,20 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir):
+def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir,
+               ahead=8):
     """Mine failures per weight with a kept-failures cap; save one npz.
 
     The miner must be built with ``compact_cap`` (device-side failure
     compaction): each call returns (nx [n,K] uint8, nz, kept) and the host
     slices the valid prefix — over the tunneled TPU this is the difference
-    between a transfer-bound and a compute-bound mining loop."""
+    between a transfer-bound and a compute-bound mining loop.
+
+    ``ahead`` batches are dispatched before the first result is forced:
+    JAX's async dispatch then overlaps the tunnel's per-call round-trip
+    latency (~0.5 s, which dominated round 4's 15 k samples/s) with device
+    compute.  The kept-cap early-break lags by up to ``ahead`` batches
+    (slight over-scan, never under-collection)."""
     path = os.path.join(out_dir, f"{tag}.npz")
     if os.path.exists(path):
         d = np.load(path)
@@ -58,15 +65,27 @@ def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir):
     for wt in weights:
         kept_x, kept_z = [], []
         scanned = 0
-        for b in range(batches):
-            k = jax.random.fold_in(jax.random.fold_in(key, wt), b)
-            nx, nz, kept = miner(k, jnp.int32(wt), int(batch_size))
-            kept = int(kept)
-            scanned += batch_size
+        pending = []
+        total_kept = 0
+
+        def drain():
+            nonlocal total_kept
+            nx, nz, kept = pending.pop(0)
+            kept = int(kept)  # forces the transfer (sync point)
             kept_x.append(np.asarray(nx).T[:kept])
             kept_z.append(np.asarray(nz).T[:kept])
-            if sum(a.shape[0] for a in kept_x) >= cap:
+            total_kept += kept
+
+        for b in range(batches):
+            k = jax.random.fold_in(jax.random.fold_in(key, wt), b)
+            pending.append(miner(k, jnp.int32(wt), int(batch_size)))
+            scanned += batch_size
+            if len(pending) >= ahead:
+                drain()
+            if total_kept >= cap:
                 break
+        while pending:
+            drain()
         x = np.vstack(kept_x)[:cap].astype(np.uint8)
         z = np.vstack(kept_z)[:cap].astype(np.uint8)
         xs.append(x)
@@ -84,10 +103,16 @@ def mine_phase(miner, key, weights, batches, batch_size, cap, tag, out_dir):
 
 
 def train_phase(graph, x, z, tcfg, key, batch_size, tag, out_dir,
-                init_params=None, log_every=200, epochs=1):
+                init_params=None, log_every=200, epochs=1,
+                steps_per_call=1):
     from feedback_gnn_tpu.decoders.gnn_feedback import init_feedback_gnn
     from feedback_gnn_tpu.io.checkpoint import load_pytree, save_pytree
-    from feedback_gnn_tpu.train import batch_iterator, make_optimizer, make_train_step
+    from feedback_gnn_tpu.train import (
+        batch_iterator,
+        make_optimizer,
+        make_train_step,
+        make_train_step_multi,
+    )
 
     params = init_params if init_params is not None else init_feedback_gnn(key)
     path = os.path.join(out_dir, f"{tag}.npz")
@@ -97,20 +122,48 @@ def train_phase(graph, x, z, tcfg, key, batch_size, tag, out_dir,
 
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
-    step = make_train_step(graph, tcfg, opt)
+    k = max(1, int(steps_per_call))
+    step = (make_train_step(graph, tcfg, opt) if k == 1
+            else make_train_step_multi(graph, tcfg, opt, k))
     it, t0 = 0, time.time()
     losses = []
+
+    def run_chunk(chunk):
+        nonlocal params, opt_state, it
+        if k == 1:
+            nx, nz = chunk[0]
+            params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
+            ls, fbs, bls = [loss], [fb], [bl]
+        else:
+            nx = jnp.stack([c[0] for c in chunk])
+            nz = jnp.stack([c[1] for c in chunk])
+            params, opt_state, ls, fbs, bls = step(params, opt_state, nx, nz)
+        prev = it
+        it += len(chunk)
+        losses.extend(np.asarray(ls).tolist())
+        if it // log_every != prev // log_every or prev == 0:
+            log(f"{tag}: ep {ep + 1}/{epochs} it {it} "
+                f"loss {losses[-1]:.4f} bler {float(np.asarray(bls)[-1]):.3f} "
+                f"flagged {float(np.asarray(fbs)[-1]):.3f} "
+                f"({it * batch_size / (time.time() - t0):.0f} samples/s)")
+
+    single = None
     for ep in range(epochs):
+        chunk = []
         for nx, nz in batch_iterator(x, z, batch_size,
                                      jax.random.fold_in(key, 7 + ep)):
-            params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
+            chunk.append((nx, nz))
+            if len(chunk) == k:
+                run_chunk(chunk)
+                chunk = []
+        # per-epoch remainder (< k minibatches) runs unfused so no shuffled
+        # sample is dropped beyond the usual drop_remainder tail
+        if chunk and single is None:
+            single = make_train_step(graph, tcfg, opt) if k > 1 else step
+        for nx, nz in chunk:
+            params, opt_state, loss, fb, bl = single(params, opt_state, nx, nz)
             it += 1
             losses.append(float(loss))
-            if it % log_every == 0 or it == 1:
-                log(f"{tag}: ep {ep + 1}/{epochs} it {it} "
-                    f"loss {float(loss):.4f} bler {float(bl):.3f} "
-                    f"flagged {float(fb):.3f} "
-                    f"({it * batch_size / (time.time() - t0):.0f} samples/s)")
     save_pytree(params, path)
     log(f"{tag}: trained {it} steps ({epochs} epochs), "
         f"final loss {np.mean(losses[-50:]):.4f} -> {path}")
@@ -165,12 +218,23 @@ def main():
                     "over a much larger mined set)")
     ap.add_argument("--final-epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=100)
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="optimizer steps fused per device call "
+                    "(make_train_step_multi lax.scan); >1 amortizes the "
+                    "tunneled backend's per-call dispatch latency")
+    ap.add_argument("--mine-ahead", type=int, default=8,
+                    help="mining batches dispatched ahead of the first "
+                    "forced result (async-dispatch pipelining)")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--eval-p", type=float, nargs="+", default=[0.10, 0.09])
     ap.add_argument("--eval-batch", type=int, default=20480)
     ap.add_argument("--eval-target-errors", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-shipped-eval", action="store_true")
+    ap.add_argument("--mine-qc", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run the miners' BP on the fused Pallas QC kernel "
+                    "(~4x the XLA gather path on TPU)")
     args = ap.parse_args()
 
     from feedback_gnn_tpu.codes.graph import QuantumGraph
@@ -194,11 +258,14 @@ def main():
     wt_max = args.wt[1]
 
     # ---- phase 1: easy set (BP4-64 failures) ----
+    mine_qc = qc if args.mine_qc else None
     miner = make_bp_failure_miner(graph, num_iter=64, wt_max=wt_max,
-                                  compact_cap=args.mine_compact_cap)
+                                  compact_cap=args.mine_compact_cap,
+                                  qc=mine_qc)
     ex, ez = mine_phase(miner, jax.random.fold_in(key, 1), weights,
                         args.mine_batches, args.mine_batch_size,
-                        args.easy_cap, f"{args.code}_easy", args.out_dir)
+                        args.easy_cap, f"{args.code}_easy", args.out_dir,
+                        ahead=args.mine_ahead)
 
     # easy subset for the coarse model (wt <= coarse_hi): mined per-wt in
     # order, so reload the per-wt kept counts to slice the stack
@@ -214,17 +281,20 @@ def main():
         jax.random.fold_in(key, 2), args.batch_size,
         f"{args.code}_coarse_16_16", args.out_dir,
         epochs=args.coarse_epochs,
+        steps_per_call=args.steps_per_call,
     )
 
     # ---- phase 3: hard set (survives BP64 -> coarse GNN -> BP64) ----
     hminer = make_cascade_failure_miner(graph, coarse, num_iter1=64,
                                         num_iter2=64, wt_max=wt_max,
-                                        compact_cap=args.mine_compact_cap)
+                                        compact_cap=args.mine_compact_cap,
+                                        qc=mine_qc)
     hard_batches = args.hard_mine_batches or args.mine_batches
     hard_bs = args.hard_mine_batch_size or args.mine_batch_size
     hx, hz = mine_phase(hminer, jax.random.fold_in(key, 3), weights,
                         hard_batches, hard_bs,
-                        args.hard_cap, f"{args.code}_hard", args.out_dir)
+                        args.hard_cap, f"{args.code}_hard", args.out_dir,
+                        ahead=args.mine_ahead)
 
     # ---- phase 4: final model, 64/16 on easy + hard x oversample ----
     mx, mz = mix_easy_hard((ex, ez), (hx, hz), args.hard_oversample)
@@ -236,6 +306,7 @@ def main():
         jax.random.fold_in(key, 4), args.batch_size,
         f"{args.code}_final_64_16_mixed", args.out_dir,
         epochs=args.final_epochs,
+        steps_per_call=args.steps_per_call,
     )
 
     # ---- phase 5: LER of trained vs shipped weights, same seeds ----

@@ -120,3 +120,62 @@ def test_compacted_miner_matches_uncompacted(setup):
         np.asarray(tx)[:, : int(tkept)],
         np.asarray(nx)[:, mask][:, : int(tkept)],
     )
+
+
+def test_train_step_multi_matches_single(setup):
+    """k fused optimizer steps (make_train_step_multi, one lax.scan device
+    call) must be step-for-step identical to k make_train_step calls on the
+    same minibatches (the fusion is a pure dispatch-latency optimization)."""
+    from feedback_gnn_tpu.train import (
+        TrainConfig,
+        make_optimizer,
+        make_train_step,
+        make_train_step_multi,
+    )
+
+    code, graph, params = setup
+    tcfg = TrainConfig(num_iter1=8, num_iter2=4, loss_from=2, learning_rate=1e-3)
+    opt = make_optimizer(tcfg)
+    k, n, b = 3, graph.n, 32
+    key = jax.random.PRNGKey(9)
+    nx = jax.random.bernoulli(key, 0.08, (k, n, b)).astype(jnp.float32)
+    nz = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.08, (k, n, b)).astype(
+        jnp.float32
+    )
+
+    p1, s1 = params, opt.init(params)
+    step1 = make_train_step(graph, tcfg, opt)
+    ref_losses = []
+    for i in range(k):
+        p1, s1, loss, _, _ = step1(p1, s1, nx[i], nz[i])
+        ref_losses.append(float(loss))
+
+    stepk = make_train_step_multi(graph, tcfg, opt, k)
+    pk, sk, losses, fb, bl = stepk(params, opt.init(params), nx, nz)
+
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    for a, bb in zip(jax.tree.leaves(p1), jax.tree.leaves(pk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
+def test_bp_failure_miner_qc_matches_xla(setup):
+    """The QC-kernel-backed miner must flag the same samples as the XLA
+    gather-path miner (it is a backend switch, not a semantic change)."""
+    from feedback_gnn_tpu.codes.qc import qc_pair_from_code
+    from feedback_gnn_tpu.train import make_bp_failure_miner
+
+    code, graph, params = setup
+    qc = qc_pair_from_code(code)
+    key = jax.random.PRNGKey(11)
+    m_x = make_bp_failure_miner(graph, num_iter=12, wt_max=12, compact_cap=32)
+    m_q = make_bp_failure_miner(graph, num_iter=12, wt_max=12, compact_cap=32,
+                                qc=qc)
+    nx1, nz1, k1 = m_x(key, jnp.int32(8), 128)
+    nx2, nz2, k2 = m_q(key, jnp.int32(8), 128)
+    assert int(k1) == int(k2)
+    np.testing.assert_array_equal(
+        np.asarray(nx1)[:, : int(k1)], np.asarray(nx2)[:, : int(k2)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nz1)[:, : int(k1)], np.asarray(nz2)[:, : int(k2)]
+    )
