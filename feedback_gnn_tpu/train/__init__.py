@@ -12,4 +12,5 @@ from .data import (
     mine_failures,
     mix_easy_hard,
     batch_iterator,
+    batch_iterator_stacked,
 )

@@ -34,6 +34,7 @@ __all__ = [
     "mine_failures",
     "mix_easy_hard",
     "batch_iterator",
+    "batch_iterator_stacked",
 ]
 
 
@@ -205,3 +206,23 @@ def batch_iterator(x, z, batch_size, key, drop_remainder=True):
     for s in range(0, stop, batch_size):
         idx = perm[s : s + batch_size]
         yield jnp.asarray(x[idx].T), jnp.asarray(z[idx].T)
+
+
+def batch_iterator_stacked(x, z, batch_size, key, k):
+    """Like ``batch_iterator`` but yields ([j, n, B], [j, n, B]) stacks of
+    j <= k consecutive minibatches as ONE host->device transfer each — the
+    input pipeline of ``make_train_step_multi``.  The concatenation of the
+    stacks equals the ``batch_iterator`` sequence for the same key (same
+    permutation, same consecutive slicing), so fused and unfused training
+    see identical minibatches."""
+    num = x.shape[0]
+    perm = np.asarray(jax.random.permutation(key, num))
+    stop = num - (num % batch_size)
+    starts = list(range(0, stop, batch_size))
+    for c in range(0, len(starts), k):
+        chunk = starts[c : c + k]
+        idx = np.stack([perm[s : s + batch_size] for s in chunk])  # [j, B]
+        yield (
+            jnp.asarray(x[idx].transpose(0, 2, 1)),
+            jnp.asarray(z[idx].transpose(0, 2, 1)),
+        )

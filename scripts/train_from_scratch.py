@@ -109,6 +109,7 @@ def train_phase(graph, x, z, tcfg, key, batch_size, tag, out_dir,
     from feedback_gnn_tpu.io.checkpoint import load_pytree, save_pytree
     from feedback_gnn_tpu.train import (
         batch_iterator,
+        batch_iterator_stacked,
         make_optimizer,
         make_train_step,
         make_train_step_multi,
@@ -128,42 +129,39 @@ def train_phase(graph, x, z, tcfg, key, batch_size, tag, out_dir,
     it, t0 = 0, time.time()
     losses = []
 
-    def run_chunk(chunk):
-        nonlocal params, opt_state, it
-        if k == 1:
-            nx, nz = chunk[0]
-            params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
-            ls, fbs, bls = [loss], [fb], [bl]
-        else:
-            nx = jnp.stack([c[0] for c in chunk])
-            nz = jnp.stack([c[1] for c in chunk])
-            params, opt_state, ls, fbs, bls = step(params, opt_state, nx, nz)
+    def report(ls, fbs, bls, j):
+        nonlocal it
         prev = it
-        it += len(chunk)
-        losses.extend(np.asarray(ls).tolist())
+        it += j
+        losses.extend(np.asarray(ls).reshape(-1).tolist())
         if it // log_every != prev // log_every or prev == 0:
             log(f"{tag}: ep {ep + 1}/{epochs} it {it} "
-                f"loss {losses[-1]:.4f} bler {float(np.asarray(bls)[-1]):.3f} "
-                f"flagged {float(np.asarray(fbs)[-1]):.3f} "
+                f"loss {losses[-1]:.4f} bler {float(np.asarray(bls).reshape(-1)[-1]):.3f} "
+                f"flagged {float(np.asarray(fbs).reshape(-1)[-1]):.3f} "
                 f"({it * batch_size / (time.time() - t0):.0f} samples/s)")
 
     single = None
     for ep in range(epochs):
-        chunk = []
-        for nx, nz in batch_iterator(x, z, batch_size,
-                                     jax.random.fold_in(key, 7 + ep)):
-            chunk.append((nx, nz))
-            if len(chunk) == k:
-                run_chunk(chunk)
-                chunk = []
-        # per-epoch remainder (< k minibatches) runs unfused so no shuffled
-        # sample is dropped beyond the usual drop_remainder tail
-        if chunk and single is None:
-            single = make_train_step(graph, tcfg, opt) if k > 1 else step
-        for nx, nz in chunk:
-            params, opt_state, loss, fb, bl = single(params, opt_state, nx, nz)
-            it += 1
-            losses.append(float(loss))
+        ekey = jax.random.fold_in(key, 7 + ep)
+        if k == 1:
+            for nx, nz in batch_iterator(x, z, batch_size, ekey):
+                params, opt_state, loss, fb, bl = step(params, opt_state, nx, nz)
+                report(loss, fb, bl, 1)
+            continue
+        for nx, nz in batch_iterator_stacked(x, z, batch_size, ekey, k):
+            if nx.shape[0] == k:
+                params, opt_state, ls, fbs, bls = step(params, opt_state, nx, nz)
+                report(ls, fbs, bls, k)
+            else:
+                # per-epoch remainder (< k minibatches) runs unfused so no
+                # shuffled sample is dropped beyond the drop_remainder tail
+                if single is None:
+                    single = make_train_step(graph, tcfg, opt)
+                for j in range(nx.shape[0]):
+                    params, opt_state, loss, fb, bl = single(
+                        params, opt_state, nx[j], nz[j]
+                    )
+                    report(loss, fb, bl, 1)
     save_pytree(params, path)
     log(f"{tag}: trained {it} steps ({epochs} epochs), "
         f"final loss {np.mean(losses[-50:]):.4f} -> {path}")

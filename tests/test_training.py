@@ -179,3 +179,22 @@ def test_bp_failure_miner_qc_matches_xla(setup):
     np.testing.assert_array_equal(
         np.asarray(nz1)[:, : int(k1)], np.asarray(nz2)[:, : int(k2)]
     )
+
+
+def test_batch_iterator_stacked_equivalence():
+    """Concatenated stacked chunks == the plain batch_iterator sequence for
+    the same key (the fused path sees identical minibatches)."""
+    from feedback_gnn_tpu.train import batch_iterator, batch_iterator_stacked
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2, (37, 10), dtype=np.uint8)
+    z = rng.integers(0, 2, (37, 10), dtype=np.uint8)
+    key = jax.random.PRNGKey(5)
+    plain = list(batch_iterator(x, z, 4, key))
+    stacked = list(batch_iterator_stacked(x, z, 4, key, 3))
+    flat = [(np.asarray(nx[j]), np.asarray(nz[j]))
+            for nx, nz in stacked for j in range(nx.shape[0])]
+    assert len(flat) == len(plain)
+    for (a, b), (c, d) in zip(flat, plain):
+        np.testing.assert_array_equal(a, np.asarray(c))
+        np.testing.assert_array_equal(b, np.asarray(d))
