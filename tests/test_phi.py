@@ -86,3 +86,47 @@ def test_all_impls_respect_clip(phi_impl):
         assert np.all(np.isfinite(out))
         assert out.min() >= cu.PHI_CLIP_MIN - 1e-6
         assert out.max() <= cu.PHI_CLIP_MAX + 1e-6
+
+
+def test_explicit_impl_arg_matches_global_toggle(phi_impl):
+    """phi(x, impl=NAME) must equal the legacy set_phi_impl(NAME) + phi(x)
+    path for every formulation (the rescue stage relies on the argument
+    form; the env/global remains only a default)."""
+    for name in cu._PHI_IMPLS:
+        explicit = np.asarray(cu.phi(FULL, name))
+        phi_impl(name)
+        via_global = np.asarray(cu.phi(FULL))
+        np.testing.assert_array_equal(explicit, via_global)
+
+
+def test_bp4_decode_phi_impl_arg(phi_impl):
+    """bp4_decode(phi_impl=NAME) == set_phi_impl(NAME) + bp4_decode()."""
+    import jax
+    import jax.numpy as jnp
+
+    from feedback_gnn_tpu.codes import create_generalized_bicycle_codes
+    from feedback_gnn_tpu.codes.graph import QuantumGraph
+    from feedback_gnn_tpu.decoders.bp4 import bp4_decode
+    from feedback_gnn_tpu.decoders.cascade import prior_llr
+    from feedback_gnn_tpu.ops.gf2mat import mod2_matmul
+
+    code = create_generalized_bicycle_codes(24, [0, 2, 8, 15], [0, 2, 12, 17])
+    graph = QuantumGraph.from_code(code, stage_mode=True)
+    key = jax.random.PRNGKey(3)
+    b = 16
+    nx = jax.random.bernoulli(key, 0.06, (graph.n_pad, b)).astype(jnp.int32)
+    nz = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.06,
+                              (graph.n_pad, b)).astype(jnp.int32)
+    nx = nx.at[graph.n:].set(0)
+    nz = nz.at[graph.n:].set(0)
+    sx = mod2_matmul(jnp.asarray(graph.hx), nz)
+    sz = mod2_matmul(jnp.asarray(graph.hz), nx)
+    llr0 = prior_llr(0.05, graph.n, b, n_pad=graph.n_pad)
+
+    res_arg = bp4_decode(graph, llr0, sx, sz, 8, phi_impl="accurate")
+    phi_impl("accurate")
+    res_glob = bp4_decode(graph, llr0, sx, sz, 8)
+    np.testing.assert_array_equal(np.asarray(res_arg.x_hat), np.asarray(res_glob.x_hat))
+    np.testing.assert_array_equal(np.asarray(res_arg.z_hat), np.asarray(res_glob.z_hat))
+    np.testing.assert_allclose(np.asarray(res_arg.x_logit),
+                               np.asarray(res_glob.x_logit), rtol=1e-6)
