@@ -58,6 +58,18 @@ def main():
     ap.add_argument("--eval-batch", type=int, default=20480)
     ap.add_argument("--eval-target-errors", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--base-tag", default="final_64_16_mixed",
+                    help="artifact tag of the model to mine through and "
+                    "fine-tune from (e.g. final_64_16_iter2 for iteration 3)")
+    ap.add_argument("--hard-tags", default="hard",
+                    help="comma-separated artifact tags of PRIOR hard sets "
+                    "to keep in the mix (e.g. hard,hard_iter2)")
+    ap.add_argument("--out-tag", default="iter2",
+                    help="suffix for this iteration's artifacts "
+                    "(hard_<out-tag>, final_64_16_<out-tag>, <code>_<out-tag>_eval.json)")
+    ap.add_argument("--mine-seed-salt", type=int, default=13,
+                    help="fold_in salt for this iteration's mining keys "
+                    "(use a different value per iteration)")
     ap.add_argument("--skip-shipped-eval", action="store_true",
                     help="skip re-measuring the shipped baseline (reuse the "
                     "numbers in <out-dir>/<code>_scratch_eval.json)")
@@ -79,13 +91,18 @@ def main():
 
     like = init_feedback_gnn(jax.random.PRNGKey(0))
     final_v1 = load_pytree(
-        os.path.join(args.out_dir, f"{args.code}_final_64_16_mixed.npz"), like=like
+        os.path.join(args.out_dir, f"{args.code}_{args.base_tag}.npz"), like=like
     )
     d = np.load(os.path.join(args.out_dir, f"{args.code}_easy.npz"))
     ex, ez = d["x"], d["z"]
-    dh = np.load(os.path.join(args.out_dir, f"{args.code}_hard.npz"))
-    hx1, hz1 = dh["x"], dh["z"]
-    log(f"loaded: {ex.shape[0]} easy, {hx1.shape[0]} hard_v1, final_v1 params")
+    hxs, hzs = [], []
+    for tag in args.hard_tags.split(","):
+        dh = np.load(os.path.join(args.out_dir, f"{args.code}_{tag.strip()}.npz"))
+        hxs.append(dh["x"])
+        hzs.append(dh["z"])
+    hx1, hz1 = np.vstack(hxs), np.vstack(hzs)
+    log(f"loaded: {ex.shape[0]} easy, {hx1.shape[0]} prior hard "
+        f"({args.hard_tags}), base params {args.base_tag}")
 
     # ---- phase 1: hard set v2 through the CURRENT final model ----
     hminer = make_cascade_failure_miner(
@@ -93,9 +110,9 @@ def main():
         compact_cap=args.mine_compact_cap, qc=qc,
     )
     hx2, hz2 = mine_phase(
-        hminer, jax.random.fold_in(key, 13), weights,
+        hminer, jax.random.fold_in(key, args.mine_seed_salt), weights,
         args.hard_mine_batches, args.hard_mine_batch_size,
-        args.hard_cap, f"{args.code}_hard_iter2", args.out_dir,
+        args.hard_cap, f"{args.code}_hard_{args.out_tag}", args.out_dir,
         ahead=args.mine_ahead,
     )
 
@@ -103,22 +120,23 @@ def main():
     hx = np.vstack([hx1, hx2])
     hz = np.vstack([hz1, hz2])
     mx, mz = mix_easy_hard((ex, ez), (hx, hz), args.hard_oversample)
-    log(f"iter2 mixed set: {mx.shape[0]} samples "
+    log(f"{args.out_tag} mixed set: {mx.shape[0]} samples "
         f"({ex.shape[0]} easy + {hx.shape[0]} hard x{args.hard_oversample})")
     final_v2 = train_phase(
         graph, mx, mz,
         TrainConfig(num_iter1=64, num_iter2=16, loss_from=8,
                     learning_rate=args.lr),
         jax.random.fold_in(key, 14), args.batch_size,
-        f"{args.code}_final_64_16_iter2", args.out_dir,
+        f"{args.code}_final_64_16_{args.out_tag}", args.out_dir,
         init_params=final_v1, epochs=args.epochs,
         steps_per_call=args.steps_per_call,
     )
 
     # ---- phase 3: LER vs shipped, same seeds as the v1 eval ----
     res_t = evaluate(graph, qc, [final_v2], args.eval_p, args.eval_batch,
-                     args.seed, args.eval_target_errors, "iter2-fine-tuned")
-    out = {"iter2": {"ps": list(map(float, res_t.ps)),
+                     args.seed, args.eval_target_errors,
+                     f"{args.out_tag}-fine-tuned")
+    out = {args.out_tag: {"ps": list(map(float, res_t.ps)),
                      "ler": [float(v) for v in res_t.ler],
                      "errors": [int(v) for v in res_t.logical_errors],
                      "blocks": [int(v) for v in res_t.num_blocks]}}
@@ -130,7 +148,8 @@ def main():
                           "ler": [float(v) for v in res_s.ler],
                           "errors": [int(v) for v in res_s.logical_errors],
                           "blocks": [int(v) for v in res_s.num_blocks]}
-    with open(os.path.join(args.out_dir, f"{args.code}_iter2_eval.json"), "w") as f:
+    with open(os.path.join(args.out_dir,
+                           f"{args.code}_{args.out_tag}_eval.json"), "w") as f:
         json.dump(out, f, indent=1)
     log("done")
 
