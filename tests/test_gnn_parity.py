@@ -102,7 +102,10 @@ def test_converted_npz_weights_match_reference_pickles():
     pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "feedback_gnn_tpu", "weights")
     ref = "/root/reference/sionna/fec/ldpc/weights"
-    npzs = sorted(glob.glob(os.path.join(pkg, "*.npz")))
+    # the four reference-converted pickles; weights trained IN this
+    # framework (scratch_*) have no reference counterpart to compare to
+    npzs = sorted(p for p in glob.glob(os.path.join(pkg, "*.npz"))
+                  if "scratch" not in os.path.basename(p))
     assert len(npzs) == 4
     checked = 0
     for npz in npzs:
